@@ -1,0 +1,13 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Must set XLA flags before jax is imported anywhere in the test session so
+sharding tests can exercise real multi-device paths without TPU hardware.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
