@@ -1,0 +1,211 @@
+"""VLM client protocol + Gemini/OpenRouter implementations + fakes.
+
+The reference binds its two VLM uses to concrete HTTP clients
+(gemini_labels_openrouter src/utils.py:184-285; direction calls
+src/circuit_analyzer.py:2036-2143). Here both sit behind a Protocol so
+tests inject deterministic fakes and the structural pipeline stays
+fully offline (SURVEY.md §4 item 4, §7 "hard parts" item 6).
+"""
+from __future__ import annotations
+
+import ast
+import json
+import os
+from typing import Optional, Protocol, Sequence
+
+import numpy as np
+
+from .prompts import DIODE_DIRECTION_PROMPT, LABELS_PROMPT, VOLTAGE_DIRECTION_PROMPT
+
+
+class VLMClient(Protocol):
+    """Vision-language model interface used by the pipeline."""
+
+    def get_labels(self, enum_image_rgb: np.ndarray) -> list[dict]:
+        """Stage-2 extraction: enumerated image → [{'id','class','value'}]."""
+        ...
+
+    def get_direction(
+        self, crop_rgb: np.ndarray, component_class: str
+    ) -> tuple[str, str]:
+        """Per-component polarity: crop → (direction, reason), each one of
+        UP/DOWN/LEFT/RIGHT/UNKNOWN and SIGN/ARROW/UNKNOWN."""
+        ...
+
+
+def parse_vlm_list(text: str) -> list[dict]:
+    """Fence-stripping + dual ast/json parser (src/utils.py:249-282)."""
+    formatted = text.strip("```python\n")
+    formatted = formatted.strip("```json\n")
+    formatted = formatted.strip("```")
+    try:
+        return ast.literal_eval(formatted.replace("null", "None"))
+    except (SyntaxError, ValueError) as e_ast:
+        try:
+            return json.loads(formatted)
+        except json.JSONDecodeError as e_json:
+            raise ValueError(
+                f"Failed to parse VLM response. ast error: {e_ast}, json error: "
+                f"{e_json}. Formatted response: {formatted}"
+            )
+
+
+class FakeVLMClient:
+    """Deterministic offline client for tests and air-gapped runs.
+
+    labels: canned stage-2 output (list of dicts) or None → empty list.
+    directions: {component_class: (direction, reason)} with a default.
+    """
+
+    def __init__(
+        self,
+        labels: Optional[Sequence[dict]] = None,
+        directions: Optional[dict] = None,
+        default_direction: tuple[str, str] = ("UNKNOWN", "UNKNOWN"),
+    ):
+        self.labels = list(labels) if labels else []
+        self.directions = dict(directions or {})
+        self.default_direction = default_direction
+        self.label_calls = 0
+        self.direction_calls: list[str] = []
+
+    def get_labels(self, enum_image_rgb: np.ndarray) -> list[dict]:
+        self.label_calls += 1
+        return list(self.labels)
+
+    def get_direction(self, crop_rgb: np.ndarray, component_class: str):
+        self.direction_calls.append(component_class)
+        return self.directions.get(component_class, self.default_direction)
+
+
+class GeminiVLMClient:
+    """Direct Gemini API client (reference gemini_labels path,
+    src/utils.py:125-182 and direction path src/circuit_analyzer.py:2103-2143).
+    Requires GEMINI_API_KEY; constructed lazily."""
+
+    def __init__(
+        self,
+        api_key: Optional[str] = None,
+        labels_model: str = "gemini-2.5-pro-exp-03-25",
+        direction_model: str = "gemini-2.5-flash-lite-preview-06-17",
+    ):
+        self.api_key = api_key or os.getenv("GEMINI_API_KEY")
+        if not self.api_key:
+            raise ValueError("GEMINI_API_KEY not set")
+        from google import genai  # deferred: optional dependency
+
+        self._genai = genai
+        self.client = genai.Client(api_key=self.api_key)
+        self.labels_model = labels_model
+        self.direction_model = direction_model
+
+    def get_labels(self, enum_image_rgb: np.ndarray) -> list[dict]:
+        from PIL import Image
+
+        img = Image.fromarray(enum_image_rgb)
+        response = self.client.models.generate_content(
+            model=self.labels_model,
+            contents=[img, "\n", LABELS_PROMPT],
+            config={"temperature": 0},
+        )
+        return parse_vlm_list(response.text)
+
+    def get_direction(self, crop_rgb: np.ndarray, component_class: str):
+        from ..core import taxonomy
+
+        if component_class in taxonomy.VOLTAGE_CLASSES:
+            prompt = VOLTAGE_DIRECTION_PROMPT
+        elif component_class in taxonomy.DIODE_CLASSES:
+            prompt = DIODE_DIRECTION_PROMPT
+        else:
+            return "UNKNOWN", "UNKNOWN"
+        from PIL import Image
+
+        try:
+            response = self.client.models.generate_content(
+                model=self.direction_model,
+                contents=[prompt, Image.fromarray(crop_rgb)],
+                config={
+                    "response_mime_type": "application/json",
+                    "temperature": 0.1,
+                    "top_p": 0.98,
+                    "max_output_tokens": 1024,
+                },
+            )
+            parsed = json.loads(response.text)
+            direction = parsed.get("direction")
+            reason = parsed.get("reason")
+            if direction:
+                return str(direction).upper(), str(reason).upper() if reason else "UNKNOWN"
+            return "UNKNOWN", "UNKNOWN"
+        except Exception:
+            return "UNKNOWN", "UNKNOWN"
+
+
+class OpenRouterVLMClient:
+    """OpenRouter (OpenAI SDK) labels client — the reference's production
+    stage-2 path (src/utils.py:184-285)."""
+
+    def __init__(
+        self,
+        api_key: Optional[str] = None,
+        model: str = "google/gemini-2.5-flash-preview",
+    ):
+        self.api_key = api_key or os.getenv("OPENROUTER_API_KEY")
+        if not self.api_key:
+            raise ValueError("OPENROUTER_API_KEY not set")
+        import openai  # deferred
+
+        self.client = openai.OpenAI(
+            base_url="https://openrouter.ai/api/v1", api_key=self.api_key
+        )
+        self.model = model
+
+    def get_labels(self, enum_image_rgb: np.ndarray) -> list[dict]:
+        import base64
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(enum_image_rgb).save(buf, format="PNG")
+        b64 = base64.b64encode(buf.getvalue()).decode("utf-8")
+        response = self.client.chat.completions.create(
+            model=self.model,
+            messages=[
+                {
+                    "role": "user",
+                    "content": [
+                        {"type": "text", "text": LABELS_PROMPT},
+                        {
+                            "type": "image_url",
+                            "image_url": {"url": f"data:image/png;base64,{b64}"},
+                        },
+                    ],
+                }
+            ],
+            temperature=0,
+        )
+        if not response.choices:
+            raise ValueError("VLM response contained no choices")
+        return parse_vlm_list(response.choices[0].message.content)
+
+    def get_direction(self, crop_rgb: np.ndarray, component_class: str):
+        return "UNKNOWN", "UNKNOWN"  # direction uses the Gemini client
+
+
+def default_client() -> Optional[VLMClient]:
+    """Pick a client from the environment; None when no keys configured
+    (the pipeline then degrades exactly like the reference with no
+    GEMINI_API_KEY, src/circuit_analyzer.py:133-147)."""
+    if os.getenv("GEMINI_API_KEY"):
+        try:
+            return GeminiVLMClient()
+        except Exception:
+            pass
+    if os.getenv("OPENROUTER_API_KEY"):
+        try:
+            return OpenRouterVLMClient()
+        except Exception:
+            pass
+    return None

@@ -1,0 +1,78 @@
+"""Semantic direction enrichment.
+
+Re-implements _enrich_bboxes_with_directions
+(src/circuit_analyzer.py:2145-2215) with one improvement over the
+reference: eligible component crops are dispatched to the VLM
+concurrently (a thread pool over HTTP round-trips) instead of serially —
+the reference's loop costs one network RTT per source/diode.
+"""
+from __future__ import annotations
+
+import concurrent.futures
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..core import taxonomy
+from ..core.config import EnrichConfig
+from ..core.types import BBox
+from .client import VLMClient
+
+
+def enrich_directions(
+    image_rgb: np.ndarray,
+    bboxes: Sequence[BBox],
+    client: Optional[VLMClient],
+    cfg: Optional[EnrichConfig] = None,
+) -> list[BBox]:
+    """Return new boxes with semantic_direction/reason filled.
+
+    Eligible classes (taxonomy.DIRECTION_CLASSES) get a padded crop sent
+    to the VLM; others get direction None (reference :2213-2215). With no
+    client, everything is left unenriched (graceful degradation,
+    src/analysis_pipeline.py:141-145).
+    """
+    cfg = cfg or EnrichConfig()
+    out = [dataclasses.replace(b) for b in bboxes]
+    if client is None:
+        return out
+
+    h, w = image_rgb.shape[:2]
+    jobs: list[tuple[int, np.ndarray, str]] = []
+    for i, b in enumerate(out):
+        if b.class_name not in taxonomy.DIRECTION_CLASSES:
+            b.semantic_direction = None
+            b.semantic_reason = None
+            continue
+        x0 = max(0, b.xmin - cfg.crop_padding)
+        y0 = max(0, b.ymin - cfg.crop_padding)
+        x1 = min(w, b.xmax + cfg.crop_padding)
+        y1 = min(h, b.ymax + cfg.crop_padding)
+        if x0 >= x1 or y0 >= y1:
+            b.semantic_direction = "UNKNOWN"
+            b.semantic_reason = "UNKNOWN"
+            continue
+        crop = image_rgb[y0:y1, x0:x1]
+        if crop.size == 0:
+            b.semantic_direction = "UNKNOWN"
+            b.semantic_reason = "UNKNOWN"
+            continue
+        jobs.append((i, crop, b.class_name))
+
+    if not jobs:
+        return out
+
+    def run(job):
+        i, crop, cls = job
+        try:
+            return i, client.get_direction(crop, cls)
+        except Exception:
+            return i, ("UNKNOWN", "UNKNOWN")
+
+    max_workers = max(1, min(cfg.max_concurrency, len(jobs)))
+    with concurrent.futures.ThreadPoolExecutor(max_workers=max_workers) as pool:
+        for i, (direction, reason) in pool.map(run, jobs):
+            out[i].semantic_direction = direction
+            out[i].semantic_reason = reason
+    return out

@@ -1,0 +1,195 @@
+"""Hiera-Large image trunk (SAM 2.1) in Flax, NHWC.
+
+First-party implementation of the architecture configured at
+models/configs/sam2.1_hiera_l.yaml:10-16 in the reference: embed_dim 144,
+2 heads, stages (2, 6, 36, 4), window spec (8, 4, 16, 8), global
+attention at blocks 23/33/43, 7×7 background + 8×8 window positional
+embeddings. Dims and heads double at each stage transition via a 2×2
+max-pool on Q (blocks 2, 8, 44).
+
+TPU notes: windowed attention reshapes to (B·nW, win², C) so every window
+attends in one batched MXU contraction; softmax runs in float32; the rest
+follows the module dtype (bfloat16 in production).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def window_partition(x: jax.Array, window: int) -> tuple[jax.Array, tuple[int, int]]:
+    """(B, H, W, C) → (B·nW, win, win, C) with bottom/right zero padding."""
+    b, h, w, c = x.shape
+    pad_h = (window - h % window) % window
+    pad_w = (window - w % window) % window
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    hp, wp = h + pad_h, w + pad_w
+    x = x.reshape(b, hp // window, window, wp // window, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window, window, c)
+    return x, (hp, wp)
+
+
+def window_unpartition(
+    windows: jax.Array, window: int, pad_hw: tuple[int, int], hw: tuple[int, int]
+) -> jax.Array:
+    hp, wp = pad_hw
+    h, w = hw
+    b = windows.shape[0] // ((hp // window) * (wp // window))
+    x = windows.reshape(b, hp // window, wp // window, window, window, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, -1)
+    return x[:, :h, :w, :]
+
+
+def _pool2x(x: jax.Array) -> jax.Array:
+    """2×2 max-pool on (B, H, W, C) (Hiera q_pool)."""
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+class MultiScaleAttention(nn.Module):
+    dim_out: int
+    num_heads: int
+    q_pool: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, _ = x.shape
+        head_dim = self.dim_out // self.num_heads
+        qkv = nn.Dense(self.dim_out * 3, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        if self.q_pool:
+            q = _pool2x(q.reshape(b, h, w, -1))
+            h, w = q.shape[1], q.shape[2]
+            q = q.reshape(b, h * w, self.num_heads, head_dim)
+
+        scale = head_dim**-0.5
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn * scale, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        out = out.reshape(b, h, w, self.dim_out)
+        return nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(out)
+
+
+class MultiScaleBlock(nn.Module):
+    dim: int
+    dim_out: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    q_stride: bool = False
+    window_size: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        shortcut = x
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        if self.dim != self.dim_out:
+            shortcut = _pool2x(nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(x))
+
+        window = self.window_size
+        pad_hw = None
+        hw = (x.shape[1], x.shape[2])
+        if window > 0:
+            x, pad_hw = window_partition(x, window)
+
+        x = MultiScaleAttention(
+            self.dim_out, self.num_heads, q_pool=self.q_stride, dtype=self.dtype,
+            name="attn",
+        )(x)
+
+        if self.q_stride:
+            # Q was pooled: shrink windows and recompute padded geometry
+            # relative to the pooled shortcut (hieradet.py semantics).
+            window = window // 2
+            hw = (shortcut.shape[1], shortcut.shape[2])
+            pad_h = (window - hw[0] % window) % window if window else 0
+            pad_w = (window - hw[1] % window) % window if window else 0
+            pad_hw = (hw[0] + pad_h, hw[1] + pad_w)
+
+        if window > 0:
+            x = window_unpartition(x, window, pad_hw, hw)
+
+        x = shortcut + x
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        hidden = int(self.dim_out * self.mlp_ratio)
+        y = nn.Dense(hidden, dtype=self.dtype, name="mlp_layers_0")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(self.dim_out, dtype=self.dtype, name="mlp_layers_1")(y)
+        return x + y
+
+
+class Hiera(nn.Module):
+    """Hiera trunk. Input (B, S, S, 3); returns 4 feature maps
+    high-res-first: strides 4/8/16/32, dims d, 2d, 4d, 8d."""
+
+    embed_dim: int = 144
+    num_heads: int = 2
+    stages: Sequence[int] = (2, 6, 36, 4)
+    global_att_blocks: Sequence[int] = (23, 33, 43)
+    window_pos_embed_bkg_spatial_size: Sequence[int] = (7, 7)
+    window_spec: Sequence[int] = (8, 4, 16, 8)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> list[jax.Array]:
+        # Patch embed: 7×7 conv stride 4 pad 3.
+        x = nn.Conv(
+            self.embed_dim, (7, 7), strides=(4, 4), padding=((3, 3), (3, 3)),
+            dtype=self.dtype, name="patch_embed_proj",
+        )(x.astype(self.dtype))
+        b, h, w, _ = x.shape
+
+        # Positional embedding: bicubic-resized 7×7 background + tiled 8×8
+        # window embed (hieradet._get_pos_embed).
+        bkg = self.param(
+            "pos_embed",
+            nn.initializers.zeros,
+            (1, *self.window_pos_embed_bkg_spatial_size, self.embed_dim),
+        )
+        win = self.param(
+            "pos_embed_window",
+            nn.initializers.zeros,
+            (1, self.window_spec[0], self.window_spec[0], self.embed_dim),
+        )
+        pos = jax.image.resize(bkg, (1, h, w, self.embed_dim), method="cubic")
+        tiles = (1, h // self.window_spec[0], w // self.window_spec[0], 1)
+        pos = pos + jnp.tile(win, tiles)
+        x = x + pos.astype(x.dtype)
+
+        depth = sum(self.stages)
+        stage_ends = [sum(self.stages[: i + 1]) - 1 for i in range(len(self.stages))]
+        q_pool_blocks = [e + 1 for e in stage_ends[:-1]]
+
+        dim = self.embed_dim
+        heads = self.num_heads
+        cur_stage = 0
+        outputs: list[jax.Array] = []
+        for i in range(depth):
+            dim_out = dim
+            window = self.window_spec[cur_stage]
+            if i in q_pool_blocks:
+                dim_out = dim * 2
+                heads = heads * 2
+                cur_stage += 1
+                window = self.window_spec[cur_stage]
+            if i in self.global_att_blocks:
+                window = 0
+            x = MultiScaleBlock(
+                dim=dim,
+                dim_out=dim_out,
+                num_heads=heads,
+                q_stride=(i in q_pool_blocks),
+                window_size=window,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(x)
+            dim = dim_out
+            if i in stage_ends:
+                outputs.append(x)
+        return outputs

@@ -1,0 +1,191 @@
+"""Ultralytics YOLOv11 checkpoint → Flax variables converter.
+
+The reference loads `models/YOLO/best_large_model_yolo.pt` through
+ultralytics (src/circuit_analyzer.py:45). This converter maps that
+checkpoint's state_dict onto the YOLOv11 Flax module tree defined in
+model.py, so fine-tuned weights port directly.
+
+Name translation (torch → flax):
+  model.{i}.*            → b{i} / h{i} top-level module (see _TOP_MAP)
+  m.{j}                  → m_{j}
+  ffn.{j}                → ffn_{j}
+  cv2.{i}.{j} (detect)   → cv2_{i}_{j}
+  cv3.{i}.{a}.{b}        → cv3_{i}_{a}_{b}
+  conv.weight            → conv/kernel  (OIHW → HWIO)
+  bn.{weight,bias}       → bn/{scale,bias}
+  bn.running_{mean,var}  → bn/{mean,var}      (batch_stats collection)
+  weight,bias (bare conv)→ kernel,bias        (detect output convs)
+
+The DFL layer (model.23.dfl.conv.weight, a frozen arange) has no Flax
+counterpart: decode.py computes the softmax expectation directly.
+"""
+from __future__ import annotations
+
+import re
+from typing import Mapping
+
+import numpy as np
+
+_TOP_MAP = {
+    "b0": "model.0", "b1": "model.1", "b2": "model.2", "b3": "model.3",
+    "b4": "model.4", "b5": "model.5", "b6": "model.6", "b7": "model.7",
+    "b8": "model.8", "b9": "model.9", "b10": "model.10",
+    "h13": "model.13", "h16": "model.16", "h17": "model.17",
+    "h19": "model.19", "h20": "model.20", "h22": "model.22",
+}
+
+_DETECT_RE2 = re.compile(r"^cv2_(\d+)_(\d+)$")
+_DETECT_RE3 = re.compile(r"^cv3_(\d+)_(\d+)_(\d+)$")
+_DETECT_RE3_FINAL = re.compile(r"^cv3_(\d+)_2$")
+_SUB_RE = re.compile(r"^(m|ffn)_(\d+)$")
+
+
+def _flax_path_to_torch_key(path: tuple[str, ...]) -> str:
+    """Translate a flax variable path (without collection) to a torch key."""
+    parts: list[str] = []
+    for i, p in enumerate(path[:-2] if len(path) >= 2 else path):
+        if i == 0:
+            m3f = _DETECT_RE3_FINAL.match(p)
+            m2 = _DETECT_RE2.match(p)
+            m3 = _DETECT_RE3.match(p)
+            if p in _TOP_MAP:
+                parts.append(_TOP_MAP[p])
+            elif m3f:
+                parts.append(f"model.23.cv3.{m3f.group(1)}.2")
+            elif m3:
+                parts.append(f"model.23.cv3.{m3.group(1)}.{m3.group(2)}.{m3.group(3)}")
+            elif m2:
+                parts.append(f"model.23.cv2.{m2.group(1)}.{m2.group(2)}")
+            else:
+                raise KeyError(f"Unknown top-level module {p!r} in path {path}")
+        else:
+            sub = _SUB_RE.match(p)
+            parts.append(f"{sub.group(1)}.{sub.group(2)}" if sub else p)
+
+    mod, leaf = path[-2], path[-1]
+    sub = _SUB_RE.match(mod)
+    mod_t = f"{sub.group(1)}.{sub.group(2)}" if sub else mod
+    if not parts:
+        # Top-level leaf module (the detect head's final 1×1 convs).
+        m3f = _DETECT_RE3_FINAL.match(mod)
+        m2 = _DETECT_RE2.match(mod)
+        m3 = _DETECT_RE3.match(mod)
+        if m3f:
+            mod_t = f"model.23.cv3.{m3f.group(1)}.2"
+        elif m3:
+            mod_t = f"model.23.cv3.{m3.group(1)}.{m3.group(2)}.{m3.group(3)}"
+        elif m2:
+            mod_t = f"model.23.cv2.{m2.group(1)}.{m2.group(2)}"
+    leaf_map = {
+        ("conv", "kernel"): "conv.weight",
+        ("bn", "scale"): "bn.weight",
+        ("bn", "bias"): "bn.bias",
+        ("bn", "mean"): "bn.running_mean",
+        ("bn", "var"): "bn.running_var",
+    }
+    if (mod, leaf) in leaf_map:
+        suffix = leaf_map[(mod, leaf)]
+        return ".".join(parts + [suffix]) if parts else suffix
+    # Bare final conv of the detect head: path like ('cv2_0_2', 'kernel').
+    if leaf == "kernel":
+        return ".".join(parts + [mod_t, "weight"]) if parts else f"{mod_t}.weight"
+    if leaf == "bias":
+        return ".".join(parts + [mod_t, "bias"]) if parts else f"{mod_t}.bias"
+    raise KeyError(f"Unmapped leaf {path}")
+
+
+def _to_flax_array(torch_array: np.ndarray, leaf: str) -> np.ndarray:
+    a = np.asarray(torch_array)
+    if leaf == "kernel" and a.ndim == 4:  # OIHW → HWIO
+        return np.transpose(a, (2, 3, 1, 0))
+    if leaf == "kernel" and a.ndim == 2:  # dense (O, I) → (I, O)
+        return a.T
+    return a
+
+
+def convert_state_dict(
+    torch_state: Mapping[str, "np.ndarray"], flax_variables: dict
+) -> dict:
+    """Fill a flax variable tree (from model.init) with torch weights.
+
+    torch_state: flat mapping of torch parameter names → arrays (numpy or
+    torch tensors). Keys may optionally carry a 'model.model.' prefix
+    (ultralytics nests the detection model once).
+    Returns a new variable dict; raises KeyError listing missing weights.
+    """
+    import jax
+
+    norm_state: dict[str, np.ndarray] = {}
+    for k, v in torch_state.items():
+        k2 = k[len("model.") :] if k.startswith("model.model.") else k
+        try:  # torch tensor → numpy
+            v = v.detach().cpu().numpy()  # type: ignore[union-attr]
+        except AttributeError:
+            v = np.asarray(v)
+        norm_state[k2] = v
+
+    flat = jax.tree_util.tree_flatten_with_path(flax_variables)[0]
+    missing, out = [], {}
+    new_vars = jax.tree_util.tree_map(lambda x: x, flax_variables)  # copy
+
+    def set_in(tree, path_keys, value):
+        node = tree
+        for k in path_keys[:-1]:
+            node = node[k]
+        node[path_keys[-1]] = value
+
+    import flax
+
+    mutable = flax.core.unfreeze(new_vars) if hasattr(flax.core, "unfreeze") else new_vars
+    for path, leaf_val in flat:
+        keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        collection, mod_path = keys[0], tuple(keys[1:])
+        torch_key = _flax_path_to_torch_key(mod_path)
+        if torch_key not in norm_state:
+            missing.append(torch_key)
+            continue
+        arr = _to_flax_array(norm_state[torch_key], mod_path[-1])
+        if arr.shape != leaf_val.shape:
+            raise ValueError(
+                f"Shape mismatch for {torch_key}: torch {arr.shape} vs flax {leaf_val.shape}"
+            )
+        set_in(mutable, keys, arr.astype(np.float32))
+    if missing:
+        raise KeyError(f"Missing {len(missing)} weights in checkpoint, e.g. {missing[:8]}")
+    del out
+    return mutable
+
+
+def expected_torch_keys(flax_variables: dict) -> set[str]:
+    """All torch state_dict keys this converter expects — useful to diff
+    against a real checkpoint before conversion."""
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(flax_variables)[0]
+    keys = set()
+    for path, _ in flat:
+        names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        keys.add(_flax_path_to_torch_key(tuple(names[1:])))
+    return keys
+
+
+def load_ultralytics_checkpoint(path: str) -> dict[str, np.ndarray]:
+    """Best-effort loader for a .pt checkpoint without the ultralytics
+    package: tries weights-only torch.load of common container layouts."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict):
+        for key in ("state_dict", "model"):
+            inner = obj.get(key)
+            if inner is None:
+                continue
+            if hasattr(inner, "state_dict"):
+                return {k: v for k, v in inner.state_dict().items()}
+            if isinstance(inner, dict):
+                return inner
+        if all(hasattr(v, "shape") for v in obj.values()):
+            return obj
+    if hasattr(obj, "state_dict"):
+        return {k: v for k, v in obj.state_dict().items()}
+    raise ValueError(f"Unrecognized checkpoint container in {path}")

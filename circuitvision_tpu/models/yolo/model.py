@@ -1,0 +1,149 @@
+"""YOLOv11 detector in Flax (NHWC, bf16-ready).
+
+First-party re-implementation of the architecture the reference loads via
+ultralytics (src/circuit_analyzer.py:45: YOLO('best_large_model_yolo.pt'),
+invoked at :268). Backbone: Conv stem → C3k2 stages → SPPF → C2PSA;
+PAN-style head fusing P3/P4/P5; decoupled detect head with DFL box
+regression. Compound scaling presets match ultralytics yolo11{n,s,m,l,x}.
+
+The forward returns raw per-scale head outputs; decoding (DFL expectation,
+anchor grids, NMS) lives in decode.py so the whole detect path is one jit
+program.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..layers import C2PSA, C3k2, ConvBN, DWConvBN, SPPF, upsample2x
+
+# depth multiple, width multiple, max channels (ultralytics yolo11 scales)
+SCALES: dict[str, tuple[float, float, int]] = {
+    "n": (0.50, 0.25, 1024),
+    "s": (0.50, 0.50, 1024),
+    "m": (0.50, 1.00, 512),
+    "l": (1.00, 1.00, 512),
+    "x": (1.00, 1.50, 512),
+}
+
+
+def _make_divisible(x: float, divisor: int = 8) -> int:
+    return max(divisor, int(x + divisor / 2) // divisor * divisor)
+
+
+@dataclasses.dataclass(frozen=True)
+class YOLOArch:
+    """Resolved channel/repeat plan for one scale."""
+
+    channels: tuple[int, ...]  # c for layers 0..10 (backbone outputs)
+    head_channels: tuple[int, int, int]  # P3, P4, P5 feature widths
+    repeats: int  # C3k2 repeat count after depth scaling
+    c3k: bool  # whether C3k2 units are C3k blocks
+
+    @classmethod
+    def for_scale(cls, scale: str) -> "YOLOArch":
+        depth, width, max_ch = SCALES[scale]
+
+        def ch(x: int) -> int:
+            return _make_divisible(min(x, max_ch) * width)
+
+        n = max(round(2 * depth), 1)
+        channels = (
+            ch(64), ch(128), ch(256), ch(256), ch(512), ch(512), ch(512),
+            ch(1024), ch(1024), ch(1024), ch(1024),
+        )
+        head = (ch(256), ch(512), ch(1024))
+        return cls(channels=channels, head_channels=head, repeats=n,
+                   c3k=scale in ("m", "l", "x"))
+
+
+class YOLOv11(nn.Module):
+    """Full detector. Input (B, H, W, 3) normalized to [0, 1].
+
+    Returns a list of 3 per-scale tensors (B, Hs, Ws, 4*reg_max + nc) for
+    strides (8, 16, 32).
+    """
+
+    num_classes: int = 62
+    scale: str = "l"
+    reg_max: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> list[jax.Array]:
+        arch = YOLOArch.for_scale(self.scale)
+        ch = arch.channels
+        n = arch.repeats
+        c3k = arch.c3k
+        dt = self.dtype
+        x = x.astype(dt)
+
+        # ---- Backbone -------------------------------------------------
+        x = ConvBN(ch[0], 3, 2, dtype=dt, name="b0")(x)  # P1/2
+        x = ConvBN(ch[1], 3, 2, dtype=dt, name="b1")(x)  # P2/4
+        x = C3k2(ch[2], n, c3k, 0.25, dtype=dt, name="b2")(x)
+        x = ConvBN(ch[3], 3, 2, dtype=dt, name="b3")(x)  # P3/8
+        p3 = C3k2(ch[4], n, c3k, 0.25, dtype=dt, name="b4")(x)
+        x = ConvBN(ch[5], 3, 2, dtype=dt, name="b5")(p3)  # P4/16
+        p4 = C3k2(ch[6], n, c3k, 0.5, dtype=dt, name="b6")(x)
+        x = ConvBN(ch[7], 3, 2, dtype=dt, name="b7")(p4)  # P5/32
+        x = C3k2(ch[8], n, c3k, 0.5, dtype=dt, name="b8")(x)
+        x = SPPF(ch[9], 5, dtype=dt, name="b9")(x)
+        p5 = C2PSA(ch[10], n, dtype=dt, name="b10")(x)
+
+        # ---- PAN head -------------------------------------------------
+        hc3, hc4, hc5 = arch.head_channels
+        u = jnp.concatenate([upsample2x(p5), p4], axis=-1)
+        h13 = C3k2(hc4, n, c3k, 0.5, dtype=dt, name="h13")(u)
+        u = jnp.concatenate([upsample2x(h13), p3], axis=-1)
+        h16 = C3k2(hc3, n, c3k, 0.5, dtype=dt, name="h16")(u)  # P3 out
+        d = ConvBN(hc3, 3, 2, dtype=dt, name="h17")(h16)
+        h19 = C3k2(hc4, n, c3k, 0.5, dtype=dt, name="h19")(
+            jnp.concatenate([d, h13], axis=-1)
+        )  # P4 out
+        d = ConvBN(hc4, 3, 2, dtype=dt, name="h20")(h19)
+        h22 = C3k2(hc5, n, c3k, 0.5, dtype=dt, name="h22")(
+            jnp.concatenate([d, p5], axis=-1)
+        )  # P5 out
+
+        # ---- Detect head ---------------------------------------------
+        feats = [h16, h19, h22]
+        c2 = max(16, feats[0].shape[-1] // 4, self.reg_max * 4)
+        c3 = max(feats[0].shape[-1], min(self.num_classes, 100))
+        outs = []
+        for i, f in enumerate(feats):
+            box = ConvBN(c2, 3, dtype=dt, name=f"cv2_{i}_0")(f)
+            box = ConvBN(c2, 3, dtype=dt, name=f"cv2_{i}_1")(box)
+            box = nn.Conv(4 * self.reg_max, (1, 1), dtype=dt, name=f"cv2_{i}_2")(box)
+
+            cls = DWConvBN(f.shape[-1], 3, dtype=dt, name=f"cv3_{i}_0_0")(f)
+            cls = ConvBN(c3, 1, dtype=dt, name=f"cv3_{i}_0_1")(cls)
+            cls = DWConvBN(c3, 3, dtype=dt, name=f"cv3_{i}_1_0")(cls)
+            cls = ConvBN(c3, 1, dtype=dt, name=f"cv3_{i}_1_1")(cls)
+            cls = nn.Conv(self.num_classes, (1, 1), dtype=dt, name=f"cv3_{i}_2")(cls)
+            outs.append(jnp.concatenate([box, cls], axis=-1).astype(jnp.float32))
+        return outs
+
+
+def init_params(
+    model: YOLOv11, rng: jax.Array, img_size: int = 640
+) -> dict:
+    """Random-init variables (params + batch_stats) for the detector.
+
+    Uses eval_shape + host RNG instead of tracing/compiling the full init
+    graph — for a 25M-param model this is ~100× faster to materialize and
+    weights are anyway replaced by converted checkpoints in production.
+    """
+    from ..initialization import fast_init
+
+    dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+    return fast_init(model, rng, dummy)
+
+
+def param_count(variables: dict) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(variables))

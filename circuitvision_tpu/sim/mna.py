@@ -1,0 +1,247 @@
+"""Modified nodal analysis: DC operating point + single-frequency AC.
+
+The TPU-native replacement for the reference's libngspice/PySpice path
+(src/spice_simulator.py:62-76, 206-219). Circuit simulation is sparse
+LU / Newton–Raphson — a host workload by design (SURVEY.md §2.3) — so
+this runs in numpy, with an optional C++ kernel (sim/native) behind the
+same interface for production deployments.
+
+Supported elements (everything the pipeline emits):
+  R           conductance stamp
+  C           DC: open; AC: jωC admittance
+  L           DC: 0 V branch (short); AC: 1/(jωL) admittance
+  V           branch source (DC value; "dc AC mag phase" in AC)
+  I           current injection
+  D           Shockley diode via damped Newton (Is=1e-14, n=1, Vt=25.85mV)
+
+Analyses match the two the reference performs: `.op` and
+`.ac lin 1 f f`.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence
+
+import numpy as np
+
+from .netlist_parse import Element, NetlistParseError, parse_netlist
+
+_DIODE_IS = 1e-14
+_DIODE_VT = 0.02585
+_GMIN_DEFAULT = 1e-12
+
+
+class SimulationError(ValueError):
+    pass
+
+
+@dataclasses.dataclass
+class OperatingPoint:
+    node_voltages: dict[str, float]
+    branch_currents: dict[str, float]  # through V/L elements, Amperes
+
+
+@dataclasses.dataclass
+class ACSolution:
+    node_voltages: dict[str, complex]
+    branch_currents: dict[str, complex]
+    frequency_hz: float
+
+
+def _node_index(elements: Sequence[Element]) -> dict[str, int]:
+    """Ground ('0'/'gnd') is eliminated; others get 0..N-1."""
+    nodes: dict[str, int] = {}
+    for el in elements:
+        for n in (el.n1, el.n2):
+            key = str(n)
+            if key in ("0", "gnd", "GND"):
+                continue
+            if key not in nodes:
+                nodes[key] = len(nodes)
+    return nodes
+
+
+def _branch_elements(elements: Sequence[Element], dc: bool) -> list[Element]:
+    kinds = ("V", "L") if dc else ("V",)
+    return [el for el in elements if el.kind in kinds]
+
+
+def solve_dc(
+    netlist_text: str,
+    gmin: float = _GMIN_DEFAULT,
+    abstol: float = 1e-12,
+    reltol: float = 1e-6,
+    max_iters: int = 100,
+) -> OperatingPoint:
+    """DC operating point with Newton iteration for diodes."""
+    elements = parse_netlist(netlist_text)
+    if not elements:
+        raise SimulationError("empty netlist")
+    for el in elements:
+        if el.kind not in ("R", "C", "L", "V", "I", "D"):
+            raise SimulationError(
+                f"unsupported element '{el.name}' of type {el.kind} "
+                f"(DC analysis supports R, C, L, V, I, D)"
+            )
+
+    nodes = _node_index(elements)
+    branches = _branch_elements(elements, dc=True)
+    n, m = len(nodes), len(branches)
+    size = n + m
+
+    def idx(node: str) -> int:
+        return nodes.get(str(node), -1)  # -1 = ground
+
+    diodes = [el for el in elements if el.kind == "D"]
+    x = np.zeros(size)
+
+    for _ in range(max_iters if diodes else 1):
+        A = np.zeros((size, size))
+        b = np.zeros(size)
+        A[:n, :n] += np.eye(n) * gmin
+
+        for el in elements:
+            i, j = idx(el.n1), idx(el.n2)
+            if el.kind == "R":
+                if el.dc_value is None or el.dc_value == 0:
+                    raise SimulationError(f"resistor {el.name} needs a nonzero value")
+                g = 1.0 / el.dc_value
+                _stamp_conductance(A, i, j, g)
+            elif el.kind == "C":
+                continue  # open at DC
+            elif el.kind == "I":
+                cur = el.dc_value if el.dc_value is not None else 0.0
+                if i >= 0:
+                    b[i] -= cur
+                if j >= 0:
+                    b[j] += cur
+            elif el.kind == "D":
+                vd = (x[i] if i >= 0 else 0.0) - (x[j] if j >= 0 else 0.0)
+                vd = min(vd, 0.9)  # junction voltage limiting
+                e = math.exp(vd / _DIODE_VT)
+                gd = (_DIODE_IS / _DIODE_VT) * e + gmin
+                id_lin = _DIODE_IS * (e - 1.0) - gd * vd
+                _stamp_conductance(A, i, j, gd)
+                if i >= 0:
+                    b[i] -= id_lin
+                if j >= 0:
+                    b[j] += id_lin
+
+        for k, el in enumerate(branches):
+            i, j = idx(el.n1), idx(el.n2)
+            row = n + k
+            if i >= 0:
+                A[i, row] += 1.0
+                A[row, i] += 1.0
+            if j >= 0:
+                A[j, row] -= 1.0
+                A[row, j] -= 1.0
+            if el.kind == "V":
+                b[row] = el.dc_value if el.dc_value is not None else 0.0
+            else:  # L: short (0 V)
+                b[row] = 0.0
+
+        try:
+            x_new = np.linalg.solve(A, b)
+        except np.linalg.LinAlgError as e:
+            raise SimulationError(f"singular MNA matrix: {e}") from e
+
+        if not diodes:
+            x = x_new
+            break
+        delta = np.max(np.abs(x_new - x)) if size else 0.0
+        ref = np.max(np.abs(x_new)) if size else 0.0
+        x = x_new
+        if delta <= abstol + reltol * ref:
+            break
+
+    node_voltages = {name: float(x[i]) for name, i in nodes.items()}
+    branch_currents = {
+        el.name.lower(): float(x[n + k]) for k, el in enumerate(branches)
+    }
+    return OperatingPoint(node_voltages, branch_currents)
+
+
+def solve_ac(netlist_text: str, frequency_hz: float) -> ACSolution:
+    """Single-point AC analysis (.ac lin 1 f f)."""
+    if frequency_hz <= 0:
+        raise SimulationError("AC frequency must be positive")
+    elements = parse_netlist(netlist_text)
+    if not elements:
+        raise SimulationError("empty netlist")
+    for el in elements:
+        if el.kind not in ("R", "C", "L", "V", "I", "D"):
+            raise SimulationError(
+                f"unsupported element '{el.name}' of type {el.kind}"
+            )
+
+    omega = 2.0 * math.pi * frequency_hz
+    nodes = _node_index(elements)
+    branches = _branch_elements(elements, dc=False)
+    n, m = len(nodes), len(branches)
+    size = n + m
+    A = np.zeros((size, size), complex)
+    b = np.zeros(size, complex)
+    A[:n, :n] += np.eye(n) * _GMIN_DEFAULT
+
+    def idx(node: str) -> int:
+        return nodes.get(str(node), -1)
+
+    for el in elements:
+        i, j = idx(el.n1), idx(el.n2)
+        if el.kind == "R":
+            _stamp_conductance(A, i, j, 1.0 / el.dc_value)
+        elif el.kind == "C":
+            if el.reactance is not None:  # -jX given directly
+                z = el.reactance
+                _stamp_conductance(A, i, j, 1.0 / z)
+            else:
+                _stamp_conductance(A, i, j, 1j * omega * (el.dc_value or 0.0))
+        elif el.kind == "L":
+            if el.reactance is not None:
+                _stamp_conductance(A, i, j, 1.0 / el.reactance)
+            else:
+                val = el.dc_value or 0.0
+                if val == 0:
+                    raise SimulationError(f"inductor {el.name} needs a value")
+                _stamp_conductance(A, i, j, 1.0 / (1j * omega * val))
+        elif el.kind == "I":
+            cur = el.ac_phasor if el.ac_mag is not None else complex(el.dc_value or 0.0)
+            if i >= 0:
+                b[i] -= cur
+            if j >= 0:
+                b[j] += cur
+        elif el.kind == "D":
+            # Small-signal: treat as large resistance (no DC bias info).
+            _stamp_conductance(A, i, j, _GMIN_DEFAULT)
+
+    for k, el in enumerate(branches):
+        i, j = idx(el.n1), idx(el.n2)
+        row = n + k
+        if i >= 0:
+            A[i, row] += 1.0
+            A[row, i] += 1.0
+        if j >= 0:
+            A[j, row] -= 1.0
+            A[row, j] -= 1.0
+        b[row] = el.ac_phasor if el.ac_mag is not None else complex(el.dc_value or 0.0)
+
+    try:
+        x = np.linalg.solve(A, b)
+    except np.linalg.LinAlgError as e:
+        raise SimulationError(f"singular MNA matrix: {e}") from e
+
+    node_voltages = {name: complex(x[i]) for name, i in nodes.items()}
+    branch_currents = {el.name.lower(): complex(x[n + k]) for k, el in enumerate(branches)}
+    return ACSolution(node_voltages, branch_currents, frequency_hz)
+
+
+def _stamp_conductance(A: np.ndarray, i: int, j: int, g) -> None:
+    if i >= 0:
+        A[i, i] += g
+    if j >= 0:
+        A[j, j] += g
+    if i >= 0 and j >= 0:
+        A[i, j] -= g
+        A[j, i] -= g

@@ -1,0 +1,84 @@
+"""SPICE netlist text → element records for the MNA solver.
+
+Parses the subset of SPICE the pipeline emits (stringify output,
+src/circuit_analyzer.py:1909-1927, plus the AC rewrites of
+src/spice_simulator.py:126-181): R, C, L, V, I, D elements with plain,
+metric-suffixed, reactance (j…), or "dc AC mag phase" values.
+"""
+from __future__ import annotations
+
+import cmath
+import dataclasses
+import math
+import re
+from typing import Optional
+
+from ..netlist.values import parse_component_value
+
+_AC_SPEC = re.compile(
+    r"^([-+]?[\d.eE+-]+)?\s*AC\s+([-+]?[\d.eE+-]+)(?:\s+([-+]?[\d.eE+-]+))?$",
+    re.IGNORECASE,
+)
+
+
+@dataclasses.dataclass
+class Element:
+    kind: str  # R, C, L, V, I, D, ...
+    name: str  # e.g. V1
+    n1: str
+    n2: str
+    dc_value: Optional[float] = None
+    ac_mag: Optional[float] = None
+    ac_phase_deg: Optional[float] = None
+    reactance: Optional[complex] = None  # for j-valued C/L impedances
+    raw_value: str = ""
+
+    @property
+    def ac_phasor(self) -> complex:
+        mag = self.ac_mag if self.ac_mag is not None else 0.0
+        ph = math.radians(self.ac_phase_deg or 0.0)
+        return cmath.rect(mag, ph)
+
+
+class NetlistParseError(ValueError):
+    pass
+
+
+def parse_netlist(text: str) -> list[Element]:
+    """Parse netlist body text (no .title/.end needed; comments skipped)."""
+    elements: list[Element] = []
+    for lineno, line in enumerate(text.split("\n"), start=1):
+        stripped = line.strip()
+        if not stripped or stripped.startswith("*") or stripped.startswith("."):
+            continue
+        parts = stripped.split()
+        if len(parts) < 3:
+            raise NetlistParseError(f"line {lineno}: too few fields: {stripped!r}")
+        name, n1, n2 = parts[0], parts[1], parts[2]
+        kind = name[0].upper()
+        value_str = " ".join(parts[3:]) if len(parts) > 3 else ""
+        el = Element(kind=kind, name=name, n1=n1, n2=n2, raw_value=value_str)
+
+        if value_str:
+            m = _AC_SPEC.match(value_str)
+            if m and kind in ("V", "I"):
+                el.dc_value = float(m.group(1)) if m.group(1) else 0.0
+                el.ac_mag = float(m.group(2))
+                el.ac_phase_deg = float(m.group(3)) if m.group(3) else 0.0
+            else:
+                token = parts[3]
+                if token.lower() == "none":
+                    raise NetlistParseError(
+                        f"line {lineno}: element {name} has no numeric value "
+                        f"(value 'None'); fill values before simulating"
+                    )
+                try:
+                    v = parse_component_value(token)
+                except ValueError as e:
+                    raise NetlistParseError(f"line {lineno}: {e}") from e
+                if isinstance(v, complex):
+                    el.reactance = v
+                else:
+                    el.dc_value = float(v)
+        elements.append(el)
+    return elements

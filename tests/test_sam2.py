@@ -1,0 +1,212 @@
+"""SAM 2.1 segmenter: architecture shapes, decoder behaviors, converter."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from circuitvision_tpu.core.config import SAM2Config
+from circuitvision_tpu.models.sam2.convert import (
+    expected_torch_keys,
+    normalize_and_fold,
+)
+from circuitvision_tpu.models.sam2.hiera import (
+    Hiera,
+    window_partition,
+    window_unpartition,
+)
+from circuitvision_tpu.models.sam2.neck import position_embedding_sine
+from circuitvision_tpu.models.sam2.wrapper import SAM2ImageSegmenter, init_params
+
+TINY = SAM2Config(
+    resolution=128,
+    embed_dim=32,
+    num_heads=1,
+    stages=(1, 2, 4, 1),
+    global_att_blocks=(5,),
+    window_spec=(4, 2, 4, 2),
+    backbone_channel_list=(256, 128, 64, 32),
+    decoder_mlp_dim=128,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_sam():
+    model = SAM2ImageSegmenter(cfg=TINY)
+    variables = init_params(model, jax.random.PRNGKey(0))
+    return model, variables
+
+
+class TestWindows:
+    def test_partition_round_trip(self):
+        x = jnp.arange(2 * 12 * 12 * 3, dtype=jnp.float32).reshape(2, 12, 12, 3)
+        wins, pad_hw = window_partition(x, 4)
+        assert wins.shape == (2 * 9, 4, 4, 3)
+        back = window_unpartition(wins, 4, pad_hw, (12, 12))
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+    def test_partition_with_padding(self):
+        x = jnp.ones((1, 10, 14, 2))
+        wins, pad_hw = window_partition(x, 4)
+        assert pad_hw == (12, 16)
+        back = window_unpartition(wins, 4, pad_hw, (10, 14))
+        assert back.shape == (1, 10, 14, 2)
+
+
+class TestHiera:
+    def test_feature_pyramid_shapes(self):
+        model = Hiera(
+            embed_dim=32, num_heads=1, stages=(1, 2, 4, 1),
+            global_att_blocks=(5,), window_spec=(4, 2, 4, 2),
+        )
+        from circuitvision_tpu.models.initialization import fast_init
+
+        x = jnp.zeros((1, 128, 128, 3))
+        variables = fast_init(model, jax.random.PRNGKey(0), x)
+        feats = model.apply(variables, x)
+        assert [f.shape for f in feats] == [
+            (1, 32, 32, 32),
+            (1, 16, 16, 64),
+            (1, 8, 8, 128),
+            (1, 4, 4, 256),
+        ]
+
+
+class TestSegmenter:
+    def test_forward_shapes(self, tiny_sam):
+        model, variables = tiny_sam
+        x = jnp.zeros((2, 128, 128, 3))
+        high, low, iou = model.apply(variables, x)
+        assert high.shape == (2, 128, 128, 1)
+        # low-res mask = 4× the 8×8 embedding grid
+        assert low.shape == (2, 32, 32, 1)
+        assert iou.shape == (2, 1)
+        assert np.isfinite(np.asarray(high)).all()
+
+    def test_jit_and_binarize(self, tiny_sam):
+        model, variables = tiny_sam
+        fwd = jax.jit(lambda v, x: model.apply(v, x))
+        high, _, _ = fwd(variables, jnp.zeros((1, 128, 128, 3)))
+        mask = np.asarray(high[0, :, :, 0] > 0)
+        assert mask.shape == (128, 128)
+
+    def test_hiera_l_param_count(self):
+        # Full SAM2.1 Hiera-L image path ≈ 224M params (SURVEY.md §2.4).
+        model = SAM2ImageSegmenter(cfg=SAM2Config())
+        shapes = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1024, 1024, 3)))
+        )
+        n = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(shapes))
+        assert 190e6 < n < 260e6, f"param count {n}"
+
+
+class TestPositionEncodings:
+    def test_sine_shape_and_range(self):
+        pe = position_embedding_sine(8, 16, 256)
+        assert pe.shape == (8, 16, 256)
+        arr = np.asarray(pe)
+        assert arr.min() >= -1.0001 and arr.max() <= 1.0001
+
+
+class TestConvTransposeParity:
+    def test_matches_torch(self):
+        """flax ConvTranspose(k=2, s=2) ↔ torch ConvTranspose2d weight layout."""
+        import torch
+        import flax.linen as fnn
+
+        rng = np.random.default_rng(0)
+        w_t = rng.normal(size=(6, 4, 2, 2)).astype(np.float32)  # (in, out, kh, kw)
+        b_t = rng.normal(size=(4,)).astype(np.float32)
+        x = rng.normal(size=(1, 5, 5, 6)).astype(np.float32)
+
+        tconv = torch.nn.ConvTranspose2d(6, 4, 2, stride=2)
+        with torch.no_grad():
+            tconv.weight.copy_(torch.from_numpy(w_t))
+            tconv.bias.copy_(torch.from_numpy(b_t))
+        ref = tconv(torch.from_numpy(x.transpose(0, 3, 1, 2))).detach().numpy()
+        ref = ref.transpose(0, 2, 3, 1)
+
+        from circuitvision_tpu.models.sam2.convert import _to_flax
+
+        mod = fnn.ConvTranspose(4, (2, 2), strides=(2, 2))
+        variables = {"params": {"kernel": jnp.asarray(_to_flax(w_t, "convT")),
+                                "bias": jnp.asarray(b_t)}}
+        out = np.asarray(mod.apply(variables, jnp.asarray(x)))
+        # XLA CPU's default conv precision leaves ~1e-3 relative residue;
+        # layout correctness is what this asserts.
+        np.testing.assert_allclose(out, ref, rtol=5e-3, atol=5e-2)
+
+
+class TestConverter:
+    def test_expected_keys_shape(self, tiny_sam):
+        _, variables = tiny_sam
+        keys = expected_torch_keys(variables)
+        assert "image_encoder.trunk.patch_embed.proj.weight" in keys
+        assert "sam_mask_decoder.transformer.layers.0.self_attn.q_proj.weight" in keys
+        assert "sam_mask_decoder.iou_token.weight" in keys
+        assert "dense_embedding1" in keys
+        assert "refinement_layer.combiner_conv.weight" in keys
+        assert "sam_prompt_encoder.pe_layer.positional_encoding_gaussian_matrix" in keys
+        assert "image_encoder.neck.convs.0.conv.weight" in keys
+
+    def test_lora_folding_linear(self):
+        w = np.eye(4, dtype=np.float32)
+        a = np.ones((2, 4), np.float32)
+        b = np.ones((4, 2), np.float32)
+        state = {
+            "sam2_model.base_model.model.m.base_layer.weight": w,
+            "sam2_model.base_model.model.m.lora_A.default.weight": a,
+            "sam2_model.base_model.model.m.lora_B.default.weight": b,
+        }
+        folded = normalize_and_fold(state, lora_alpha=16.0)
+        # scale = 16/2 = 8; B@A = 2*ones(4,4)
+        np.testing.assert_allclose(folded["m.weight"], w + 8.0 * 2.0 * np.ones((4, 4)))
+
+    def test_lora_folding_conv(self):
+        w = np.zeros((4, 3, 1, 1), np.float32)
+        a = np.ones((2, 3, 1, 1), np.float32)
+        b = np.ones((4, 2, 1, 1), np.float32)
+        state = {
+            "x.base_layer.weight": w,
+            "x.lora_A.default.weight": a,
+            "x.lora_B.default.weight": b,
+        }
+        folded = normalize_and_fold(state, lora_alpha=16.0)
+        np.testing.assert_allclose(folded["x.weight"], 8.0 * 2.0 * np.ones((4, 3, 1, 1)))
+
+    def test_round_trip_conversion(self, tiny_sam):
+        from circuitvision_tpu.models.sam2.convert import (
+            _flax_path_to_torch_key,
+            _to_flax,
+            convert_state_dict,
+        )
+
+        _, variables = tiny_sam
+        flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+        rng = np.random.default_rng(0)
+        fake = {}
+        for path, leaf in flat:
+            names = [str(getattr(p, "key", p)) for p in path]
+            tkey, kind = _flax_path_to_torch_key(tuple(names[1:]))
+            arr = rng.normal(size=leaf.shape).astype(np.float32)
+            # invert the flax-ward transform
+            if kind == "conv" and arr.ndim == 4:
+                arr = np.transpose(arr, (3, 2, 0, 1))
+            elif kind == "conv" and arr.ndim == 2:
+                arr = arr.T
+            elif kind == "convT":
+                arr = np.transpose(arr[::-1, ::-1], (2, 3, 0, 1))
+            elif kind == "nchw":
+                arr = np.transpose(arr, (0, 3, 1, 2))
+            fake[tkey] = arr
+        converted = convert_state_dict(fake, variables)
+        flat2 = jax.tree_util.tree_flatten_with_path(converted)[0]
+        assert len(flat2) == len(flat)
+
+    def test_missing_raises(self, tiny_sam):
+        from circuitvision_tpu.models.sam2.convert import convert_state_dict
+
+        _, variables = tiny_sam
+        with pytest.raises(KeyError):
+            convert_state_dict({}, variables)
