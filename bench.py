@@ -128,8 +128,13 @@ def main():
     imgs_per_sec = batch * args.iters / dt
 
     per_chip_target = 50.0 / 8.0  # v5e-8 north-star split per chip
+    label = (
+        "device-path images/sec (smoke-size models)"
+        if args.smoke
+        else "device-path images/sec (YOLOv11-L 640 detect+NMS + SAM2.1-L 1024 segment, bf16)"
+    )
     result = {
-        "metric": "device-path images/sec (YOLOv11-L 640 detect+NMS + SAM2.1-L 1024 segment, bf16)",
+        "metric": label,
         "value": round(imgs_per_sec, 3),
         "unit": "images/sec",
         "vs_baseline": round(imgs_per_sec / (per_chip_target * n_dev), 3),

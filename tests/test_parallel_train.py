@@ -1,0 +1,145 @@
+"""Mesh/sharding helpers, losses, trainable-mask selection, multi-chip dry run."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from circuitvision_tpu.parallel.mesh import (
+    batch_sharding,
+    fsdp_param_shardings,
+    make_mesh,
+    shard_batch,
+)
+from circuitvision_tpu.train.losses import (
+    combined_loss,
+    dice_loss,
+    focal_loss,
+    frequency_loss,
+    iou_prediction_loss,
+)
+from circuitvision_tpu.train.train_step import trainable_mask
+
+
+def cpu_devices(n):
+    devs = jax.devices("cpu")
+    if len(devs) < n:
+        pytest.skip(f"need {n} cpu devices")
+    return devs[:n]
+
+
+class TestMesh:
+    def test_make_mesh_all_devices(self):
+        devs = cpu_devices(8)
+        from circuitvision_tpu.core.config import MeshConfig
+
+        mesh = make_mesh(MeshConfig(), devices=devs)
+        assert mesh.shape["data"] == 8
+        assert mesh.shape["model"] == 1
+
+    def test_data_model_split(self):
+        devs = cpu_devices(8)
+        from circuitvision_tpu.core.config import MeshConfig
+
+        mesh = make_mesh(MeshConfig(model_parallel=2), devices=devs)
+        assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
+
+    def test_shard_batch_places_data(self):
+        devs = cpu_devices(8)
+        from circuitvision_tpu.core.config import MeshConfig
+
+        mesh = make_mesh(MeshConfig(), devices=devs)
+        x = jnp.zeros((16, 4))
+        sharded = shard_batch(x, mesh)
+        assert sharded.sharding == batch_sharding(mesh)
+
+    def test_fsdp_shardings_split_large_params(self):
+        devs = cpu_devices(8)
+        from circuitvision_tpu.core.config import MeshConfig
+
+        mesh = make_mesh(MeshConfig(model_parallel=2), devices=devs)
+        params = {"big": jnp.zeros((512, 512)), "small": jnp.zeros((3,))}
+        sh = fsdp_param_shardings(params, mesh, min_size=1024)
+        assert sh["big"].spec == jax.sharding.PartitionSpec(None, "model")
+        assert sh["small"].spec == jax.sharding.PartitionSpec()
+
+
+class TestLosses:
+    def _data(self):
+        rng = np.random.default_rng(0)
+        logits = jnp.asarray(rng.normal(size=(2, 16, 16)).astype(np.float32))
+        targets = jnp.asarray((rng.random((2, 16, 16)) > 0.5).astype(np.float32))
+        return logits, targets
+
+    def test_dice_perfect_prediction(self):
+        targets = jnp.ones((1, 8, 8))
+        logits = jnp.full((1, 8, 8), 20.0)  # sigmoid ≈ 1
+        assert float(dice_loss(logits, targets)) < 1e-3
+
+    def test_focal_zero_for_confident_correct(self):
+        targets = jnp.ones((1, 8, 8))
+        logits = jnp.full((1, 8, 8), 20.0)
+        assert float(focal_loss(logits, targets)) < 1e-6
+
+    def test_iou_prediction_loss(self):
+        targets = jnp.ones((1, 8, 8))
+        logits = jnp.full((1, 8, 8), 20.0)
+        iou_pred = jnp.asarray([[1.0]])
+        assert float(iou_prediction_loss(iou_pred, logits, targets)) < 1e-6
+        iou_bad = jnp.asarray([[0.0]])
+        assert float(iou_prediction_loss(iou_bad, logits, targets)) > 0.9
+
+    def test_frequency_loss_zero_on_match(self):
+        logits = jnp.full((1, 8, 8), 20.0)
+        targets = jnp.ones((1, 8, 8))
+        assert float(frequency_loss(logits, targets)) < 1e-2
+
+    def test_combined_weights(self):
+        logits, targets = self._data()
+        iou_pred = jnp.asarray([[0.5], [0.5]])
+        total, metrics = combined_loss(logits, iou_pred, targets)
+        expect = (
+            0.5 * metrics["dice"]
+            + 0.4 * metrics["focal"]
+            + 0.3 * metrics["iou"]
+            + 0.1 * metrics["freq"]
+        )
+        np.testing.assert_allclose(float(total), float(expect), rtol=1e-6)
+
+
+class TestTrainableMask:
+    def test_reference_fine_tune_surface(self):
+        params = {
+            "params": {
+                "dense_embedding1": jnp.zeros((1, 4, 4)),
+                "trunk": {
+                    "blocks_44": {"attn": {"qkv": {"kernel": jnp.zeros((4, 4))}}},
+                    "blocks_0": {"attn": {"qkv": {"kernel": jnp.zeros((4, 4))}}},
+                },
+                "sam_mask_decoder": {
+                    "transformer": {
+                        "layers_0": {"self_attn": {"q_proj": {"kernel": jnp.zeros((4, 4))}}}
+                    },
+                    "iou_prediction_head": {
+                        "layers_2": {"kernel": jnp.zeros((4, 4))},
+                        "layers_0": {"kernel": jnp.zeros((4, 4))},
+                    },
+                },
+            }
+        }
+        mask = trainable_mask(params)
+        p = mask["params"]
+        assert p["dense_embedding1"] is True
+        assert p["trunk"]["blocks_44"]["attn"]["qkv"]["kernel"] is True
+        assert p["trunk"]["blocks_0"]["attn"]["qkv"]["kernel"] is False
+        assert p["sam_mask_decoder"]["transformer"]["layers_0"]["self_attn"]["q_proj"]["kernel"] is True
+        assert p["sam_mask_decoder"]["iou_prediction_head"]["layers_2"]["kernel"] is True
+        assert p["sam_mask_decoder"]["iou_prediction_head"]["layers_0"]["kernel"] is False
+
+
+@pytest.mark.slow
+class TestDryRun:
+    def test_dryrun_multichip_8(self):
+        import __graft_entry__ as g
+
+        cpu_devices(8)
+        g.dryrun_multichip(8)
