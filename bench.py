@@ -124,6 +124,9 @@ def main():
     for _ in range(args.iters):
         out = step(yolo_vars, sam_vars, det_imgs, seg_imgs)
     jax.block_until_ready(out)
+    # Force a real host readback: over remote-device tunnels
+    # block_until_ready alone can under-wait; fetching bytes cannot.
+    _ = np.asarray(out[-1])[0, 0, 0]
     dt = time.perf_counter() - t0
     imgs_per_sec = batch * args.iters / dt
 

@@ -202,6 +202,52 @@ class CircuitAnalyzerTPU:
         """Classical adaptive-threshold mask (src/circuit_analyzer.py:313-319)."""
         return segment_classical(image_rgb, self.cfg.topology)
 
+    def enhance_lines(self, mask: np.ndarray) -> np.ndarray:
+        """Blur + close to reconnect broken wires (src/circuit_analyzer.py:289-311)."""
+        from ..ops.morphology import enhance_lines as _enhance
+
+        t = self.cfg.topology
+        return np.asarray(
+            _enhance(jnp.asarray(mask, jnp.float32), t.blur_kernel, t.blur_sigma,
+                     t.morph_kernel, t.morph_iterations)
+        )
+
+    def get_emptied_mask(self, image_rgb: np.ndarray, bboxes: list[BBox]) -> np.ndarray:
+        """Classical mask with component boxes subtracted
+        (src/circuit_analyzer.py:848-882)."""
+        from ..topology.nodes import subtract_component_boxes
+
+        return subtract_component_boxes(self.segment_circuit(image_rgb), bboxes)
+
+    def get_node_connections(self, wire_mask: np.ndarray, bboxes: list[BBox]):
+        """Node extraction on an explicit mask (src/circuit_analyzer.py:1286)."""
+        return extract_nodes(wire_mask, bboxes, self.cfg.topology)
+
+    def crop_image_and_adjust_bboxes(self, image_rgb: np.ndarray, bboxes: list[BBox]):
+        """Cluster crop (src/circuit_analyzer.py:937-1284)."""
+        return crop_image_and_adjust_bboxes(image_rgb, bboxes, self.cfg.crop)
+
+    def enumerate_components(self, image_rgb: np.ndarray, bboxes: list[BBox]):
+        """Red visual-id annotation for the VLM image
+        (src/circuit_analyzer.py:479-785)."""
+        return enumerate_components(image_rgb, bboxes)
+
+    def reclassify_terminals_based_on_connectivity(
+        self, image_rgb: np.ndarray, bboxes: list[BBox]
+    ) -> list[BBox]:
+        """Terminal → voltage.dc reclassification (src/circuit_analyzer.py:2217)."""
+        return reclassify_terminals(image_rgb, bboxes, self.cfg.topology)
+
+    def generate_netlist_from_nodes(self, nodes):
+        return generate_netlist_from_nodes(nodes)
+
+    def fix_netlist(self, netlist, vlm_out, enum_bboxes):
+        return fix_netlist(netlist, vlm_out, enum_bboxes)
+
+    @staticmethod
+    def stringify_line(line) -> str:
+        return line.stringify()
+
     # ------------------------------------------------------------------
     # Full pipeline
     # ------------------------------------------------------------------

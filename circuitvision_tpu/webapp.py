@@ -155,8 +155,14 @@ class Handler(BaseHTTPRequestHandler):
                 with _STATE["lock"]:
                     result = _STATE["analyzer"].analyze(image)
                     _STATE["result"] = result
-                from .core.geometry import nms_by_confidence  # noqa: F401
+                from .core.viz import create_annotated_image
 
+                annotated = create_annotated_image(
+                    result.image_for_analysis
+                    if result.image_for_analysis is not None
+                    else image,
+                    result.bboxes,
+                )
                 self._json(
                     {
                         "bboxes": [b.to_dict() for b in result.bboxes_orig_nms],
@@ -168,7 +174,7 @@ class Handler(BaseHTTPRequestHandler):
                         "mask": _png_b64(result.sam_mask),
                         "enhanced": _png_b64(result.enhanced_mask),
                         "enum_img": _png_b64(result.enum_image),
-                        "annotated": _png_b64(result.image_for_analysis),
+                        "annotated": _png_b64(annotated),
                     }
                 )
             elif self.path == "/final":

@@ -1,5 +1,7 @@
 """Per-component device timings for the bench path (YOLO / SAM2 / stages)."""
 import time
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
