@@ -59,20 +59,26 @@ def _kernel(x_hbm, w3, b3, w5, b5, w7, b7, w11, b11, wc, bc, out_ref, scratch, s
 
     ch = 0
     for ksize in KERNELS:
+        # Channel-vectorized taps: one shifted FMA per (dy, dx) updates all
+        # 4 branch channels at once — 204 tap iterations total instead of
+        # 816, keeping the unrolled Mosaic program tractable.
         w = weights[ksize]  # (k, k, 4) — squeezed C_in
         r = ksize // 2
-        for c in range(4):
-            acc = jnp.full((tile_h, width), biases[ksize][c], jnp.float32)
-            for dy in range(ksize):
-                for dx in range(ksize):
-                    tap = w[dy, dx, c]
-                    acc = acc + tap * x[
-                        HALO - r + dy : HALO - r + dy + tile_h,
-                        HALO - r + dx : HALO - r + dx + width,
-                    ]
-            g = _gelu_exact(acc)
-            acc_out = acc_out + wc_v[ch] * g
-            ch += 1
+        acc = jnp.broadcast_to(
+            biases[ksize][:, None, None], (4, tile_h, width)
+        ).astype(jnp.float32)
+        for dy in range(ksize):
+            for dx in range(ksize):
+                shifted = x[
+                    HALO - r + dy : HALO - r + dy + tile_h,
+                    HALO - r + dx : HALO - r + dx + width,
+                ]
+                acc = acc + w[dy, dx][:, None, None] * shifted[None]
+        g = _gelu_exact(acc)
+        acc_out = acc_out + jnp.einsum(
+            "c,chw->hw", wc_v[ch : ch + 4], g, preferred_element_type=jnp.float32
+        )
+        ch += 4
     out_ref[0] = acc_out
 
 
