@@ -75,9 +75,10 @@ def _kernel(x_hbm, w3, b3, w5, b5, w7, b7, w11, b11, wc, bc, out_ref, scratch, s
                 ]
                 acc = acc + w[dy, dx][:, None, None] * shifted[None]
         g = _gelu_exact(acc)
-        acc_out = acc_out + jnp.einsum(
-            "c,chw->hw", wc_v[ch : ch + 4], g, preferred_element_type=jnp.float32
-        )
+        # Mosaic rejects multi-dim einsum contractions here; unroll the
+        # 4-channel combiner as scalar-weighted adds.
+        for c in range(4):
+            acc_out = acc_out + wc_v[ch + c] * g[c]
         ch += 4
     out_ref[0] = acc_out
 
