@@ -57,28 +57,27 @@ def _kernel(x_hbm, w3, b3, w5, b5, w7, b7, w11, b11, wc, bc, out_ref, scratch, s
     wc_v = wc[:]  # (16,)
     acc_out = jnp.full((tile_h, width), bc[0], jnp.float32)
 
+    # All compute stays on 2-D (sublane, lane) tiles — Mosaic's layout
+    # inference rejects 3-D broadcasts/contractions here. Shifted windows
+    # of x are hoisted so the four channels of a branch share them.
     ch = 0
     for ksize in KERNELS:
-        # Channel-vectorized taps: one shifted FMA per (dy, dx) updates all
-        # 4 branch channels at once — 204 tap iterations total instead of
-        # 816, keeping the unrolled Mosaic program tractable.
         w = weights[ksize]  # (k, k, 4) — squeezed C_in
         r = ksize // 2
-        acc = jnp.broadcast_to(
-            biases[ksize][:, None, None], (4, tile_h, width)
-        ).astype(jnp.float32)
+        accs = [
+            jnp.full((tile_h, width), biases[ksize][c], jnp.float32)
+            for c in range(4)
+        ]
         for dy in range(ksize):
             for dx in range(ksize):
                 shifted = x[
                     HALO - r + dy : HALO - r + dy + tile_h,
                     HALO - r + dx : HALO - r + dx + width,
                 ]
-                acc = acc + w[dy, dx][:, None, None] * shifted[None]
-        g = _gelu_exact(acc)
-        # Mosaic rejects multi-dim einsum contractions here; unroll the
-        # 4-channel combiner as scalar-weighted adds.
+                for c in range(4):
+                    accs[c] = accs[c] + w[dy, dx, c] * shifted
         for c in range(4):
-            acc_out = acc_out + wc_v[ch + c] * g[c]
+            acc_out = acc_out + wc_v[ch + c] * _gelu_exact(accs[c])
         ch += 4
     out_ref[0] = acc_out
 
