@@ -13,6 +13,7 @@ Supported elements (everything the pipeline emits):
   V           branch source (DC value; "dc AC mag phase" in AC)
   I           current injection
   D           Shockley diode via damped Newton (Is=1e-14, n=1, Vt=25.85mV)
+  E/G/F/H     dependent sources (VCVS/VCCS/CCCS/CCVS), standard syntax
 
 Analyses match the two the reference performs: `.op` and
 `.ac lin 1 f f`.
@@ -63,7 +64,7 @@ def _node_index(elements: Sequence[Element]) -> dict[str, int]:
 
 
 def _branch_elements(elements: Sequence[Element], dc: bool) -> list[Element]:
-    kinds = ("V", "L") if dc else ("V",)
+    kinds = ("V", "L", "E", "H") if dc else ("V", "E", "H")
     return [el for el in elements if el.kind in kinds]
 
 
@@ -79,10 +80,10 @@ def solve_dc(
     if not elements:
         raise SimulationError("empty netlist")
     for el in elements:
-        if el.kind not in ("R", "C", "L", "V", "I", "D"):
+        if el.kind not in ("R", "C", "L", "V", "I", "D", "E", "G", "F", "H"):
             raise SimulationError(
                 f"unsupported element '{el.name}' of type {el.kind} "
-                f"(DC analysis supports R, C, L, V, I, D)"
+                f"(DC analysis supports R, C, L, V, I, D, E, G, F, H)"
             )
 
     nodes = _node_index(elements)
@@ -94,7 +95,16 @@ def solve_dc(
         return nodes.get(str(node), -1)  # -1 = ground
 
     diodes = [el for el in elements if el.kind == "D"]
+    branch_col = {el.name.lower(): n + k for k, el in enumerate(branches)}
     x = np.zeros(size)
+
+    def ctrl_branch_col(el: Element) -> int:
+        col = branch_col.get(el.ctrl_branch or "")
+        if col is None:
+            raise SimulationError(
+                f"{el.name}: controlling source '{el.ctrl_branch}' not found"
+            )
+        return col
 
     for _ in range(max_iters if diodes else 1):
         A = np.zeros((size, size))
@@ -116,6 +126,14 @@ def solve_dc(
                     b[i] -= cur
                 if j >= 0:
                     b[j] += cur
+            elif el.kind == "G":  # VCCS: i(n1→n2) = gm (v(c1) − v(c2))
+                _stamp_vccs(A, i, j, idx(el.ctrl_n1), idx(el.ctrl_n2), el.gain or 0.0)
+            elif el.kind == "F":  # CCCS: i(n1→n2) = gain · i(Vctrl)
+                col = ctrl_branch_col(el)
+                if i >= 0:
+                    A[i, col] += el.gain or 0.0
+                if j >= 0:
+                    A[j, col] -= el.gain or 0.0
             elif el.kind == "D":
                 vd = (x[i] if i >= 0 else 0.0) - (x[j] if j >= 0 else 0.0)
                 vd = min(vd, 0.9)  # junction voltage limiting
@@ -139,6 +157,14 @@ def solve_dc(
                 A[row, j] -= 1.0
             if el.kind == "V":
                 b[row] = el.dc_value if el.dc_value is not None else 0.0
+            elif el.kind == "E":  # VCVS: v(n1)−v(n2) = gain (v(c1)−v(c2))
+                ci, cj = idx(el.ctrl_n1), idx(el.ctrl_n2)
+                if ci >= 0:
+                    A[row, ci] -= el.gain or 0.0
+                if cj >= 0:
+                    A[row, cj] += el.gain or 0.0
+            elif el.kind == "H":  # CCVS: v(n1)−v(n2) = rm · i(Vctrl)
+                A[row, ctrl_branch_col(el)] -= el.gain or 0.0
             else:  # L: short (0 V)
                 b[row] = 0.0
 
@@ -171,7 +197,7 @@ def solve_ac(netlist_text: str, frequency_hz: float) -> ACSolution:
     if not elements:
         raise SimulationError("empty netlist")
     for el in elements:
-        if el.kind not in ("R", "C", "L", "V", "I", "D"):
+        if el.kind not in ("R", "C", "L", "V", "I", "D", "E", "G", "F", "H"):
             raise SimulationError(
                 f"unsupported element '{el.name}' of type {el.kind}"
             )
@@ -181,6 +207,7 @@ def solve_ac(netlist_text: str, frequency_hz: float) -> ACSolution:
     branches = _branch_elements(elements, dc=False)
     n, m = len(nodes), len(branches)
     size = n + m
+    branch_col = {el.name.lower(): n + k for k, el in enumerate(branches)}
     A = np.zeros((size, size), complex)
     b = np.zeros(size, complex)
     A[:n, :n] += np.eye(n) * _GMIN_DEFAULT
@@ -212,6 +239,18 @@ def solve_ac(netlist_text: str, frequency_hz: float) -> ACSolution:
                 b[i] -= cur
             if j >= 0:
                 b[j] += cur
+        elif el.kind == "G":
+            _stamp_vccs(A, i, j, idx(el.ctrl_n1), idx(el.ctrl_n2), el.gain or 0.0)
+        elif el.kind == "F":
+            col = branch_col.get(el.ctrl_branch or "")
+            if col is None:
+                raise SimulationError(
+                    f"{el.name}: controlling source '{el.ctrl_branch}' not found"
+                )
+            if i >= 0:
+                A[i, col] += el.gain or 0.0
+            if j >= 0:
+                A[j, col] -= el.gain or 0.0
         elif el.kind == "D":
             # Small-signal: treat as large resistance (no DC bias info).
             _stamp_conductance(A, i, j, _GMIN_DEFAULT)
@@ -225,7 +264,21 @@ def solve_ac(netlist_text: str, frequency_hz: float) -> ACSolution:
         if j >= 0:
             A[j, row] -= 1.0
             A[row, j] -= 1.0
-        b[row] = el.ac_phasor if el.ac_mag is not None else complex(el.dc_value or 0.0)
+        if el.kind == "V":
+            b[row] = el.ac_phasor if el.ac_mag is not None else complex(el.dc_value or 0.0)
+        elif el.kind == "E":
+            ci, cj = idx(el.ctrl_n1), idx(el.ctrl_n2)
+            if ci >= 0:
+                A[row, ci] -= el.gain or 0.0
+            if cj >= 0:
+                A[row, cj] += el.gain or 0.0
+        elif el.kind == "H":
+            col = branch_col.get(el.ctrl_branch or "")
+            if col is None:
+                raise SimulationError(
+                    f"{el.name}: controlling source '{el.ctrl_branch}' not found"
+                )
+            A[row, col] -= el.gain or 0.0
 
     try:
         x = np.linalg.solve(A, b)
@@ -235,6 +288,18 @@ def solve_ac(netlist_text: str, frequency_hz: float) -> ACSolution:
     node_voltages = {name: complex(x[i]) for name, i in nodes.items()}
     branch_currents = {el.name.lower(): complex(x[n + k]) for k, el in enumerate(branches)}
     return ACSolution(node_voltages, branch_currents, frequency_hz)
+
+
+def _stamp_vccs(A: np.ndarray, i: int, j: int, ci: int, cj: int, gm) -> None:
+    """i(n_i→n_j) = gm · (v(ci) − v(cj))."""
+    if i >= 0 and ci >= 0:
+        A[i, ci] += gm
+    if i >= 0 and cj >= 0:
+        A[i, cj] -= gm
+    if j >= 0 and ci >= 0:
+        A[j, ci] -= gm
+    if j >= 0 and cj >= 0:
+        A[j, cj] += gm
 
 
 def _stamp_conductance(A: np.ndarray, i: int, j: int, g) -> None:

@@ -85,6 +85,14 @@ def solve_dc_native(
     elements = parse_netlist(netlist_text)
     if not elements:
         raise SimulationError("empty netlist")
+    if any(el.kind in ("E", "G", "F", "H") for el in elements):
+        # Dependent sources: delegate to the numpy solver (the native
+        # kernel covers the hot pipeline subset R/C/L/V/I/D).
+        from . import mna
+
+        return mna.solve_dc(
+            netlist_text, gmin=gmin, abstol=abstol, reltol=reltol, max_iters=max_iters
+        )
     for el in elements:
         if el.kind not in ("R", "C", "L", "V", "I", "D"):
             raise SimulationError(f"unsupported element '{el.name}' of type {el.kind}")
@@ -131,6 +139,10 @@ def solve_ac_native(netlist_text: str, frequency_hz: float) -> ACSolution:
     elements = parse_netlist(netlist_text)
     if not elements:
         raise SimulationError("empty netlist")
+    if any(el.kind in ("E", "G", "F", "H") for el in elements):
+        from . import mna
+
+        return mna.solve_ac(netlist_text, frequency_hz)
     for el in elements:
         if el.kind not in ("R", "C", "L", "V", "I", "D"):
             raise SimulationError(f"unsupported element '{el.name}' of type {el.kind}")

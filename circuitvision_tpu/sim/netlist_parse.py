@@ -23,7 +23,7 @@ _AC_SPEC = re.compile(
 
 @dataclasses.dataclass
 class Element:
-    kind: str  # R, C, L, V, I, D, ...
+    kind: str  # R, C, L, V, I, D, E, G, F, H
     name: str  # e.g. V1
     n1: str
     n2: str
@@ -32,6 +32,12 @@ class Element:
     ac_phase_deg: Optional[float] = None
     reactance: Optional[complex] = None  # for j-valued C/L impedances
     raw_value: str = ""
+    # Dependent sources: controlling nodes (E/G) or controlling V-source
+    # branch name (F/H), plus gain.
+    ctrl_n1: Optional[str] = None
+    ctrl_n2: Optional[str] = None
+    ctrl_branch: Optional[str] = None
+    gain: Optional[float] = None
 
     @property
     def ac_phasor(self) -> complex:
@@ -58,6 +64,34 @@ def parse_netlist(text: str) -> list[Element]:
         kind = name[0].upper()
         value_str = " ".join(parts[3:]) if len(parts) > 3 else ""
         el = Element(kind=kind, name=name, n1=n1, n2=n2, raw_value=value_str)
+
+        # Dependent sources use standard SPICE syntax:
+        #   Exxx n+ n- nc+ nc- gain      (VCVS)   Gxxx n+ n- nc+ nc- gm (VCCS)
+        #   Fxxx n+ n- Vname gain        (CCCS)   Hxxx n+ n- Vname rm   (CCVS)
+        if kind in ("E", "G"):
+            if len(parts) < 6:
+                raise NetlistParseError(
+                    f"line {lineno}: {kind}-source {name} needs 'n+ n- nc+ nc- gain'"
+                )
+            el.ctrl_n1, el.ctrl_n2 = parts[3], parts[4]
+            try:
+                el.gain = float(parse_component_value(parts[5]))
+            except (ValueError, TypeError) as e:
+                raise NetlistParseError(f"line {lineno}: bad gain for {name}: {e}")
+            elements.append(el)
+            continue
+        if kind in ("F", "H"):
+            if len(parts) < 5:
+                raise NetlistParseError(
+                    f"line {lineno}: {kind}-source {name} needs 'n+ n- Vname gain'"
+                )
+            el.ctrl_branch = parts[3].lower()
+            try:
+                el.gain = float(parse_component_value(parts[4]))
+            except (ValueError, TypeError) as e:
+                raise NetlistParseError(f"line {lineno}: bad gain for {name}: {e}")
+            elements.append(el)
+            continue
 
         if value_str:
             m = _AC_SPEC.match(value_str)

@@ -151,3 +151,37 @@ class TestEngine:
         assert res.ok
         mag = float(res.node_voltages["2"].split(" ")[0])
         assert mag == pytest.approx(10 / math.sqrt(2), rel=1e-2)
+
+
+class TestDependentSources:
+    """E/G/F/H stamps (the reference's ngspice accepts full SPICE decks;
+    netlist_map emits E and G prefixes, src/circuit_analyzer.py:83,86)."""
+
+    def test_vcvs(self):
+        op = solve_dc("V1 1 0 1\nR1 1 0 1k\nE1 2 0 1 0 5\nR2 2 0 1k")
+        assert op.node_voltages["2"] == pytest.approx(5.0, rel=1e-6)
+
+    def test_vccs(self):
+        op = solve_dc("V1 1 0 1\nR1 1 0 1k\nG1 0 2 1 0 1m\nR2 2 0 1k")
+        assert op.node_voltages["2"] == pytest.approx(1.0, rel=1e-4)
+
+    def test_cccs(self):
+        # i(V1) = -1 mA (SPICE convention); F gain 2 into 1k → -2 V.
+        op = solve_dc("V1 1 0 1\nR1 1 0 1k\nF1 0 2 V1 2\nR2 2 0 1k")
+        assert op.node_voltages["2"] == pytest.approx(-2.0, rel=1e-4)
+
+    def test_ccvs(self):
+        op = solve_dc("V1 1 0 1\nR1 1 0 1k\nH1 2 0 V1 2k\nR2 2 0 1k")
+        assert op.node_voltages["2"] == pytest.approx(-2.0, rel=1e-4)
+
+    def test_vcvs_ac(self):
+        sol = solve_ac("V1 1 0 0 AC 1 0\nR1 1 0 1k\nE1 2 0 1 0 5\nR2 2 0 1k", 60.0)
+        assert abs(sol.node_voltages["2"]) == pytest.approx(5.0, rel=1e-6)
+
+    def test_missing_control_source(self):
+        with pytest.raises(SimulationError):
+            solve_dc("V1 1 0 1\nR1 1 0 1k\nF1 0 2 V9 2\nR2 2 0 1k")
+
+    def test_short_e_line_rejected(self):
+        with pytest.raises(NetlistParseError):
+            parse_netlist("E1 2 0 5")
