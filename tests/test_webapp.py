@@ -1,0 +1,83 @@
+"""Web UI endpoints driven over real HTTP against a live server thread."""
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+from http.server import ThreadingHTTPServer
+from PIL import Image
+
+from circuitvision_tpu import webapp
+from circuitvision_tpu.core.config import DetectorConfig, PipelineConfig
+from circuitvision_tpu.enrich.client import FakeVLMClient
+from circuitvision_tpu.pipeline.analyzer import CircuitAnalyzerTPU
+
+
+@pytest.fixture(scope="module")
+def server():
+    webapp._STATE["analyzer"] = CircuitAnalyzerTPU(
+        config=PipelineConfig(
+            detector=DetectorConfig(scale="n", img_size=64, dtype="float32"),
+            use_sam2=False,
+        ),
+        use_sam2=False,
+        vlm_client=FakeVLMClient(
+            labels=[{"id": "1", "class": "resistor", "value": "1k"}]
+        ),
+    )
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), webapp.Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def _post(url, data: bytes) -> dict:
+    req = urllib.request.Request(url, data=data, method="POST")
+    with urllib.request.urlopen(req, timeout=600) as resp:
+        return json.loads(resp.read())
+
+
+class TestWebApp:
+    def test_index_serves_page(self, server):
+        with urllib.request.urlopen(server + "/", timeout=60) as resp:
+            body = resp.read().decode()
+        assert "CircuitVision" in body and "Run SPICE Analysis" in body
+
+    def test_analyze_flow(self, server):
+        img = np.full((120, 160, 3), 255, np.uint8)
+        img[60:63, 20:140] = 0
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        out = _post(server + "/analyze", buf.getvalue())
+        assert "netlist_text" in out and "timings" in out
+        assert isinstance(out["bboxes"], list)
+
+    def test_mode_endpoint(self, server):
+        out = _post(server + "/mode", b"V1 1 0 0 AC 1 0\nR1 1 0 1k")
+        assert out["mode"] == "AC"
+
+    def test_simulate_endpoint(self, server):
+        out = _post(server + "/simulate?freq=60", b"V1 1 0 10\nR1 1 2 1k\nR2 2 0 1k")
+        assert out["ok"]
+        assert out["node_voltages"]["2"] == "5.000V"
+
+    def test_simulate_error_surfaces(self, server):
+        out = _post(server + "/simulate?freq=60", b"R1 1 0 None")
+        assert not out["ok"] and "Error" in out["error"]
+
+    def test_bad_image_returns_error(self, server):
+        req = urllib.request.Request(
+            server + "/analyze", data=b"notanimage", method="POST"
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                out = json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+            out = json.loads(e.read())
+        assert out.get("ok") is False and out.get("error")
