@@ -1,4 +1,11 @@
-"""Fused MultiKernelRefinement Pallas kernel.
+"""Fused MultiKernelRefinement Pallas kernel (EXPERIMENTAL - not wired).
+
+Status: numerically specified and unit-testable in interpreter mode, but
+the ~820-vector-op unrolled Mosaic program hangs this environment's
+remote TPU compile helper (>1 h with no progress; normal kernels compile
+in seconds). Left unwired from the model pending a tap-loop formulation
+with pltpu.roll-based shifts or an upstream fix; the XLA path costs
+~15 ms/step at batch 4 (see PERF.md).
 
 The refinement head (src/sam2_infer.py:130-189 in the reference) runs
 four parallel convs (k = 3,5,7,11, C_in=1, C_out=4) + GELU + a 1×1
