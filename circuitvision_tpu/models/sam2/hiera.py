@@ -50,20 +50,34 @@ def _pool2x(x: jax.Array) -> jax.Array:
 
 
 #: sequences at or above this length route to the flash-attention kernel
-#: on TPU. Disabled by default: measured on v5e at the Hiera-L global-block
-#: shape (B4 H8 N4096 D72), XLA's einsum attention runs ~10.9 ms/call while
-#: the stock Pallas flash kernel (head_dim padded 72→128) runs ~18.5 ms —
-#: the 1.78× pad overhead plus kernel overheads exceed the HBM savings at
-#: this modest sequence length. Set to e.g. 2048 to re-enable for longer
-#: sequences (megapixel native-resolution masks).
-FLASH_MIN_SEQ = 1 << 30
+#: on TPU (the Hiera-L global blocks at 64² = 4096 tokens). Measured on
+#: v5e at that shape (B4 H8 N4096 D72, head_dim padded 72→128): tuned
+#: flash (block_q 1024 / block_k_major 2048 / block_k 1024) = 5.45 ms/call
+#: vs 10.75 ms for XLA einsum attention; the stock default block sizes
+#: LOSE at 18.5 ms — tuning matters more than the kernel choice.
+FLASH_MIN_SEQ = 2048
+
+
+def _flash_block_sizes(n: int):
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
+
+    bq = min(1024, n)
+    bkm = min(2048, n)
+    bk = min(1024, n)
+    small = min(512, n)
+    return BlockSizes(
+        block_q=bq, block_k_major=bkm, block_k=bk, block_b=1,
+        block_q_major_dkv=small, block_k_major_dkv=small,
+        block_k_dkv=small, block_q_dkv=small,
+        block_k_major_dq=small, block_k_dq=small, block_q_dq=small,
+    )
 
 
 def _flash_or_einsum_attention(q, k, v, head_dim: int) -> jax.Array:
     """(B, N, H, D) attention. For long sequences on TPU, uses the Pallas
     flash-attention kernel so the (N, N) score matrix never touches HBM —
     the Hiera-L global blocks otherwise materialize 4096² f32 scores per
-    head (~49 ms/step at batch 4 on v5e, measured). head_dim pads to the
+    head (~47 ms/step at batch 4 on v5e, traced). head_dim pads to the
     128-lane tile; the padded V columns are zero so outputs slice exactly.
     """
     scale = head_dim**-0.5
@@ -83,7 +97,10 @@ def _flash_or_einsum_attention(q, k, v, head_dim: int) -> jax.Array:
                 qt = jnp.pad(qt, ((0, 0), (0, 0), (0, 0), (0, pad)))
                 kt = jnp.pad(kt, ((0, 0), (0, 0), (0, 0), (0, pad)))
                 vt = jnp.pad(vt, ((0, 0), (0, 0), (0, 0), (0, pad)))
-            out = flash_attention(qt, kt, vt, causal=False, sm_scale=scale)
+            out = flash_attention(
+                qt, kt, vt, causal=False, sm_scale=scale,
+                block_sizes=_flash_block_sizes(n),
+            )
             out = out[..., :head_dim]
             return jnp.swapaxes(out, 1, 2)
         except Exception:
@@ -221,15 +238,16 @@ class Hiera(nn.Module):
                 window = self.window_spec[cur_stage]
             if i in self.global_att_blocks:
                 window = 0
-            x = MultiScaleBlock(
-                dim=dim,
-                dim_out=dim_out,
-                num_heads=heads,
-                q_stride=(i in q_pool_blocks),
-                window_size=window,
-                dtype=self.dtype,
-                name=f"blocks_{i}",
-            )(x)
+            with jax.named_scope(f"hiera_s{cur_stage}_b{i}" + ("_global" if window == 0 else "")):
+                x = MultiScaleBlock(
+                    dim=dim,
+                    dim_out=dim_out,
+                    num_heads=heads,
+                    q_stride=(i in q_pool_blocks),
+                    window_size=window,
+                    dtype=self.dtype,
+                    name=f"blocks_{i}",
+                )(x)
             dim = dim_out
             if i in stage_ends:
                 outputs.append(x)
