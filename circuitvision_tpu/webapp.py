@@ -57,7 +57,8 @@ button.action{background:#3b82f6;border:none;color:#fff;padding:8px 16px;border-
 pre{background:#0f1116;padding:10px;border-radius:6px;overflow-x:auto}
 .badge{display:inline-block;background:#233047;border-radius:20px;padding:3px 12px;font-size:12px;margin-left:8px}
 </style></head><body>
-<header><h1>CircuitVision <span class="badge">TPU-native</span></h1></header>
+<header><h1>CircuitVision <span class="badge">TPU-native</span>
+<span class="badge" id="dev"></span></h1></header>
 <main>
 <input type="file" id="file" accept="image/*">
 <span id="status"></span>
@@ -74,6 +75,7 @@ pre{background:#0f1116;padding:10px;border-radius:6px;overflow-x:auto}
 </main>
 <script>
 let R=null;
+fetch('/device').then(r=>r.json()).then(j=>{document.getElementById('dev').textContent=j.device;});
 function tab(i){for(let j=0;j<4;j++){document.getElementById('p'+j).style.display=i==j?'block':'none';
  document.querySelectorAll('.tabs button')[j].classList.toggle('active',i==j);}}
 document.getElementById('file').onchange=async e=>{
@@ -138,6 +140,15 @@ class Handler(BaseHTTPRequestHandler):
             self.send_header("Content-Length", str(len(data)))
             self.end_headers()
             self.wfile.write(data)
+        elif self.path == "/device":
+            # Device badge (counterpart of the reference's CPU-core badge,
+            # app.py:286-291).
+            import jax
+
+            devices = jax.devices()
+            self._json(
+                {"device": f"{devices[0].platform.upper()} ×{len(devices)}"}
+            )
         else:
             self.send_error(404)
 

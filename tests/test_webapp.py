@@ -81,3 +81,8 @@ class TestWebApp:
             assert e.code == 500
             out = json.loads(e.read())
         assert out.get("ok") is False and out.get("error")
+
+    def test_device_badge(self, server):
+        with urllib.request.urlopen(server + "/device", timeout=60) as resp:
+            out = json.loads(resp.read())
+        assert "device" in out and "×" in out["device"]
