@@ -54,6 +54,14 @@ def build_models(smoke: bool):
     yolo_vars = yolo_init(yolo, jax.random.PRNGKey(0), img_size=det_cfg.img_size)
     sam = SAM2ImageSegmenter(cfg=sam_cfg, dtype=dt)
     sam_vars = sam2_init(sam, jax.random.PRNGKey(1))
+    if dt == jnp.bfloat16:
+        # Store weights bf16 at rest: with f32 params and a bf16 compute
+        # dtype, XLA re-converts every parameter on every step (~137 ms of
+        # copy-start per batch-4 step traced on v5e).
+        cast = lambda t: jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, t
+        )
+        yolo_vars, sam_vars = cast(yolo_vars), cast(sam_vars)
     return det_cfg, sam_cfg, yolo, yolo_vars, sam, sam_vars
 
 

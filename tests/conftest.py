@@ -16,6 +16,9 @@ if "xla_force_host_platform_device_count" not in flags:
 # on CPU; cache them across runs.
 import jax  # noqa: E402
 
+# The TPU plugin rewrites JAX_PLATFORMS=cpu to "axon,cpu", silently putting
+# tests on the (single-tenant!) TPU; the explicit config update wins.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
