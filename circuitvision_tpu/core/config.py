@@ -138,6 +138,9 @@ class TopologyConfig:
     adaptive_c: int = 21
     # max connected-component labels carried through the static-shape path
     max_labels: int = 64
+    # route enhance_lines through the fused Pallas band kernel on TPU
+    # (exact match; opt-in — XLA's fusion is already sub-ms at this size)
+    use_fused_morphology: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -43,8 +43,14 @@ def _make_clamp(i, tile_h: int, img_h: int, img_w: int, rows: int, cols: int):
     last_r = jnp.clip(img_h - 1 + HALO - i * tile_h, 0, rows - 1)
 
     def clamp(x: jax.Array) -> jax.Array:
-        top_row = lax.dynamic_slice_in_dim(x, first_r, 1, axis=0)
-        bot_row = lax.dynamic_slice_in_dim(x, last_r, 1, axis=0)
+        # Mosaic can't lower dynamic_slice on values; select the edge rows
+        # with masked reductions instead (first_r/last_r are traced).
+        top_row = jnp.sum(
+            jnp.where(row_ids == first_r, x, 0.0), axis=0, keepdims=True
+        )
+        bot_row = jnp.sum(
+            jnp.where(row_ids == last_r, x, 0.0), axis=0, keepdims=True
+        )
         x = jnp.where(g < 0, top_row, x)
         x = jnp.where(g > img_h - 1, bot_row, x)
         right_col = x[:, img_w - 1 : img_w]
