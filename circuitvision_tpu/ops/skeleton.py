@@ -4,7 +4,7 @@ The north-star spec lists skeletonization among the topology raster ops
 (BASELINE.json). The reference approximates it with dilate/erode closing
 only; this provides a true morphological skeleton for wire tracing:
 
-    S(X) = ∪_k [ erode^k(X)  \  open(erode^k(X)) ]
+    S(X) = union_k [ erode^k(X) minus open(erode^k(X)) ]
 
 computed with a `lax.while_loop` over erosion depth — fully on device,
 fixed upper bound = max wire half-width.

@@ -19,7 +19,7 @@ import re
 from typing import Any, Optional
 
 import jax
-import jax.numpy as jnp
+
 import optax
 
 from ..core.config import TrainConfig
