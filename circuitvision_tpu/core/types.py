@@ -220,4 +220,5 @@ class AnalysisResult:
     vlm_stage2_output: Optional[list] = None
     node_mask: Optional[np.ndarray] = None
     enhanced_mask: Optional[np.ndarray] = None
+    node_visualization: Optional[np.ndarray] = None
     timings: StageTimings = dataclasses.field(default_factory=StageTimings)

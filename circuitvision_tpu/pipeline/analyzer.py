@@ -312,6 +312,14 @@ class CircuitAnalyzerTPU:
                 result.nodes = extraction.nodes
                 result.node_mask = extraction.emptied_mask
                 result.enhanced_mask = extraction.enhanced_mask
+                if extraction.nodes:
+                    from ..core.viz import node_overlay
+
+                    result.node_visualization = node_overlay(
+                        extraction.enhanced_mask,
+                        extraction.nodes,
+                        extraction.label_image,
+                    )
             except Exception:
                 logger.exception("node analysis failed; continuing")
         else:

@@ -95,6 +95,8 @@ function render(){
  let s='<h3>Wire mask</h3>';
  if(R.mask) s+='<img class="result" src="data:image/png;base64,'+R.mask+'">';
  if(R.enhanced) s+='<h3>Enhanced (analysis space)</h3><img class="result" src="data:image/png;base64,'+R.enhanced+'">';
+ if(R.node_viz) s+='<h3>Nodes</h3><img class="result" src="data:image/png;base64,'+R.node_viz+'">';
+ if(R.crop) s+='<h3>Crop decision</h3><pre>'+JSON.stringify(R.crop,null,2)+'</pre>';
  document.getElementById('p1').innerHTML=s||'No mask.';
  let n='<h3>Netlist ('+R.nodes+' nodes)</h3><textarea id="net">'+R.netlist_text+'</textarea>';
  n+='<br><button class="action" onclick="finalNetlist()">Get Final Netlist (VLM)</button>';
@@ -184,6 +186,18 @@ class Handler(BaseHTTPRequestHandler):
                         "total_time": result.timings.total(),
                         "mask": _png_b64(result.sam_mask),
                         "enhanced": _png_b64(result.enhanced_mask),
+                        "node_viz": _png_b64(result.node_visualization),
+                        "crop": (
+                            {
+                                "applied": result.crop_info.applied,
+                                "window": result.crop_info.window,
+                                "reason": result.crop_info.reason_for_no_crop,
+                                "clusters": result.crop_info.num_clusters,
+                                "source": result.crop_info.decision_source,
+                            }
+                            if result.crop_info
+                            else None
+                        ),
                         "enum_img": _png_b64(result.enum_image),
                         "annotated": _png_b64(annotated),
                     }
