@@ -111,7 +111,7 @@ class BatchedPipeline:
         seg_dev = jax.device_put(jnp.asarray(seg_batch), self._bsh)
         boxes, scores, classes, valid, masks = self._step(
             self.analyzer.yolo_variables,
-            self.analyzer.sam2_variables,
+            self.analyzer.sam2_variables or {},  # {} when SAM2 disabled
             det_dev,
             seg_dev,
         )

@@ -83,3 +83,25 @@ class TestCheckpointRoundTrip:
         assert len(orig) == len(back)
         for a, b in zip(orig, back):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+class TestBatchedPipelineNoSam:
+    def test_run_batch_without_sam2(self):
+        analyzer = CircuitAnalyzerTPU(
+            config=PipelineConfig(
+                detector=DetectorConfig(scale="n", img_size=64, dtype="float32"),
+                sam2=TINY_SAM,
+                use_sam2=False,
+            ),
+            use_sam2=False,
+            vlm_client=FakeVLMClient(),
+        )
+        from circuitvision_tpu.pipeline.batch import BatchedPipeline
+
+        mesh = _cpu_mesh(8)
+        bp = BatchedPipeline(analyzer, mesh=mesh, batch_size=8)
+        images = [np.full((96, 96, 3), 255, np.uint8)] * 8
+        out = bp.run_batch(images)
+        assert out.masks.shape == (8, 128, 128)
+        assert (out.masks == 0).all()  # no SAM2 → empty masks
