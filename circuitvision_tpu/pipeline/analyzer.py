@@ -359,6 +359,18 @@ class CircuitAnalyzerTPU:
         result.component_stats = self._component_stats(result.bboxes_orig_nms)
         return result
 
+    def analyze_batch(
+        self, images, mesh=None, batch_size: Optional[int] = None
+    ) -> list[AnalysisResult]:
+        """Batched multi-image analysis sharded over a device mesh
+        (SURVEY.md §7.8). Device detect+segment run in fixed-shape batches
+        with the batch dim on the mesh's data axis; host topology overlaps
+        the next batch (see pipeline/batch.py)."""
+        from .batch import BatchedPipeline
+
+        pipeline = BatchedPipeline(self, mesh=mesh, batch_size=batch_size)
+        return pipeline.analyze_many(list(images))
+
     def generate_final_netlist(self, result: AnalysisResult) -> AnalysisResult:
         """VLM value extraction + fix_netlist merge
         (handle_final_netlist_generation, src/analysis_pipeline.py:349-393)."""

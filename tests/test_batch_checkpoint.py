@@ -105,3 +105,13 @@ class TestBatchedPipelineNoSam:
         out = bp.run_batch(images)
         assert out.masks.shape == (8, 128, 128)
         assert (out.masks == 0).all()  # no SAM2 → empty masks
+
+
+@pytest.mark.slow
+class TestAnalyzeBatchAPI:
+    def test_analyze_batch_delegates(self, tiny_analyzer):
+        mesh = _cpu_mesh(8)
+        img = np.full((200, 260, 3), 255, np.uint8)
+        img[100:103, 20:240] = 0
+        results = tiny_analyzer.analyze_batch([img] * 8, mesh=mesh, batch_size=8)
+        assert len(results) == 8
