@@ -122,11 +122,12 @@ def main():
         det_imgs = jax.device_put(det_imgs, bsh)
         seg_imgs = jax.device_put(seg_imgs, bsh)
 
-    # Warmup/compile.
+    # Warmup/compile — including the scalar-readback gather used after the
+    # timing loop, so its compile never lands inside the measurement.
     out = step(yolo_vars, sam_vars, det_imgs, seg_imgs)
-    jax.block_until_ready(out)
+    _ = np.asarray(out[-1][0, 0, 0])
     out = step(yolo_vars, sam_vars, det_imgs, seg_imgs)
-    jax.block_until_ready(out)
+    _ = np.asarray(out[-1][0, 0, 0])
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
@@ -134,7 +135,9 @@ def main():
     jax.block_until_ready(out)
     # Force a real host readback: over remote-device tunnels
     # block_until_ready alone can under-wait; fetching bytes cannot.
-    _ = np.asarray(out[-1])[0, 0, 0]
+    # Index on-device first — fetching the full mask tensor would drag
+    # ~16 MB through the ~14 MB/s tunnel and pollute the measurement.
+    _ = np.asarray(out[-1][0, 0, 0])
     dt = time.perf_counter() - t0
     imgs_per_sec = batch * args.iters / dt
 
