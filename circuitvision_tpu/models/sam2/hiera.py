@@ -228,27 +228,73 @@ class Hiera(nn.Module):
         heads = self.num_heads
         cur_stage = 0
         outputs: list[jax.Array] = []
+
+        # Layout-persistent windowing: LayerNorm, in-window attention, and
+        # the MLP are all layout-agnostic, so consecutive windowed blocks
+        # run directly on the (B·nW, win, win, C) partitioned tensor — the
+        # per-block partition/unpartition transposes (2 HBM round-trips of
+        # the full activation per block, ~40 ms/step at batch 4 on v5e)
+        # happen only at window-size changes, q-pool blocks, global blocks,
+        # and stage outputs. Falls back to per-block partitioning whenever
+        # the feature map does not divide evenly by the window.
+        part_window = 0  # 0 ⇒ full (B, H, W, C) layout
+        full_hw = (x.shape[1], x.shape[2])
+
+        def to_full(x):
+            nonlocal part_window
+            if part_window:
+                x = window_unpartition(
+                    x, part_window,
+                    (full_hw[0], full_hw[1]),  # divisible ⇒ no padding
+                    full_hw,
+                )
+                part_window = 0
+            return x
+
         for i in range(depth):
             dim_out = dim
             window = self.window_spec[cur_stage]
-            if i in q_pool_blocks:
+            is_q_pool = i in q_pool_blocks
+            if is_q_pool:
                 dim_out = dim * 2
                 heads = heads * 2
                 cur_stage += 1
                 window = self.window_spec[cur_stage]
             if i in self.global_att_blocks:
                 window = 0
-            with jax.named_scope(f"hiera_s{cur_stage}_b{i}" + ("_global" if window == 0 else "")):
+
+            divisible = (
+                window > 0
+                and full_hw[0] % window == 0
+                and full_hw[1] % window == 0
+            )
+            want_part = window if (divisible and not is_q_pool) else 0
+
+            if part_window != want_part:
+                x = to_full(x)
+                if want_part:
+                    x, _pad_hw = window_partition(x, want_part)
+                    part_window = want_part
+
+            with jax.named_scope(
+                f"hiera_s{cur_stage}_b{i}" + ("_global" if window == 0 else "")
+            ):
                 x = MultiScaleBlock(
                     dim=dim,
                     dim_out=dim_out,
                     num_heads=heads,
-                    q_stride=(i in q_pool_blocks),
-                    window_size=window,
+                    q_stride=is_q_pool,
+                    # In partitioned layout each "image" IS one window:
+                    # plain attention over its win² tokens is the windowed
+                    # attention of the full-layout formulation.
+                    window_size=0 if part_window else window,
                     dtype=self.dtype,
                     name=f"blocks_{i}",
                 )(x)
             dim = dim_out
+            if is_q_pool:
+                full_hw = (x.shape[1], x.shape[2])  # pooled in full layout
             if i in stage_ends:
+                x = to_full(x)
                 outputs.append(x)
         return outputs

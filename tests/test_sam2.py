@@ -210,3 +210,44 @@ class TestConverter:
         _, variables = tiny_sam
         with pytest.raises(KeyError):
             convert_state_dict({}, variables)
+
+
+class TestLayoutPersistentWindows:
+    def test_partitioned_block_equals_windowed_block(self):
+        """A window=0 block on the partitioned tensor is numerically
+        identical to the windowed block in full layout — the invariant the
+        Hiera layout-persistent optimization rests on."""
+        from circuitvision_tpu.models.initialization import fast_init
+        from circuitvision_tpu.models.sam2.hiera import MultiScaleBlock
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, 32)).astype(np.float32))
+        blk = MultiScaleBlock(dim=32, dim_out=32, num_heads=2, window_size=4)
+        variables = fast_init(blk, jax.random.PRNGKey(0), x)
+        ref = blk.apply(variables, x)
+
+        blk0 = MultiScaleBlock(dim=32, dim_out=32, num_heads=2, window_size=0)
+        xp, pad = window_partition(x, 4)
+        out = window_unpartition(blk0.apply(variables, xp), 4, pad, (16, 16))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_indivisible_input_still_works(self):
+        """Feature maps that don't divide by the window fall back to
+        per-block partitioning (with padding) inside MultiScaleBlock."""
+        from circuitvision_tpu.models.initialization import fast_init
+        from circuitvision_tpu.models.sam2.hiera import Hiera
+
+        # q-pool blocks need even windows (window//2 geometry, as in the
+        # reference hieradet); stage-3's window 6 on a 5×5 map exercises
+        # the indivisible per-block padding path.
+        model = Hiera(
+            embed_dim=16, num_heads=1, stages=(1, 1, 1, 1),
+            global_att_blocks=(), window_spec=(5, 4, 6, 4),
+        )
+        x = jnp.zeros((1, 80, 80, 3))  # 20×20 after patch
+        variables = fast_init(model, jax.random.PRNGKey(0), x)
+        feats = model.apply(variables, x)
+        assert feats[0].shape == (1, 20, 20, 16)
+        assert feats[1].shape == (1, 10, 10, 32)
+        assert feats[2].shape == (1, 5, 5, 64)
+        assert feats[3].shape == (1, 2, 2, 128)
