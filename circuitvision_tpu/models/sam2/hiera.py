@@ -162,13 +162,19 @@ class MultiScaleBlock(nn.Module):
         )(x)
 
         if self.q_stride:
-            # Q was pooled: shrink windows and recompute padded geometry
-            # relative to the pooled shortcut (hieradet.py semantics).
+            # Q was pooled: windows halve and the padded grid halves with
+            # them. (The reference recomputes padding from the shortcut
+            # dims, hieradet.py — equivalent for divisible feature maps,
+            # wrong when pre-pool padding occurred; deriving from the
+            # actual partitioned grid handles both.)
             window = window // 2
             hw = (shortcut.shape[1], shortcut.shape[2])
-            pad_h = (window - hw[0] % window) % window if window else 0
-            pad_w = (window - hw[1] % window) % window if window else 0
-            pad_hw = (hw[0] + pad_h, hw[1] + pad_w)
+            if pad_hw is not None:
+                pad_hw = (pad_hw[0] // 2, pad_hw[1] // 2)
+            else:
+                pad_h = (window - hw[0] % window) % window if window else 0
+                pad_w = (window - hw[1] % window) % window if window else 0
+                pad_hw = (hw[0] + pad_h, hw[1] + pad_w)
 
         if window > 0:
             x = window_unpartition(x, window, pad_hw, hw)
