@@ -120,7 +120,8 @@ async function runSpice(){
  const j=await r.json();
  document.getElementById('simout').innerHTML= j.ok ?
   '<h4>Node voltages</h4><pre>'+JSON.stringify(j.node_voltages,null,2)+'</pre>'+
-  '<h4>Branch currents</h4><pre>'+JSON.stringify(j.branch_currents,null,2)+'</pre>'
+  '<h4>Branch currents</h4><pre>'+JSON.stringify(j.branch_currents,null,2)+'</pre>'+
+  (j.phasors?'<h4>Phasor diagram</h4><img class="result" src="data:image/png;base64,'+j.phasors+'">':'')
   : '<pre style="color:#f87171">'+j.error+'</pre>';}
 </script></body></html>"""
 
@@ -221,12 +222,19 @@ class Handler(BaseHTTPRequestHandler):
                 )
                 text = self._body().decode()
                 sim = _STATE["analyzer"].simulate(text, frequency_hz=freq)
+                phasors = ""
+                if sim.ok and hasattr(sim.raw, "frequency_hz"):
+                    from .sim.plots import phasor_plot
+
+                    img = phasor_plot(sim.raw)
+                    phasors = _png_b64(img) if img is not None else ""
                 self._json(
                     {
                         "ok": sim.ok,
                         "node_voltages": sim.node_voltages,
                         "branch_currents": sim.branch_currents,
                         "error": sim.error,
+                        "phasors": phasors,
                     }
                 )
             else:

@@ -185,3 +185,14 @@ class TestDependentSources:
     def test_short_e_line_rejected(self):
         with pytest.raises(NetlistParseError):
             parse_netlist("E1 2 0 5")
+
+
+class TestPhasorPlot:
+    def test_renders_rgb_array(self):
+        from circuitvision_tpu.sim.plots import phasor_plot
+
+        sol = solve_ac("V1 1 0 0 AC 4 -45\nR1 1 2 100\nC1 2 0 -j100", 60.0)
+        img = phasor_plot(sol)
+        assert img is not None
+        assert img.ndim == 3 and img.shape[2] == 3
+        assert img.shape[0] > 100 and img.shape[1] > 100
