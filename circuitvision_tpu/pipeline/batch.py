@@ -191,7 +191,7 @@ class BatchedPipeline:
                     bboxes_orig_nms=bxs, bboxes=bxs, sam_mask=mask_full,
                 )
                 try:
-                    extraction = extract_nodes(mask_full, bxs, self.cfg.topology)
+                    extraction = extract_nodes(mask_full, bxs, self.cfg.topology, fetch_viz=False)
                     result.nodes = extraction.nodes
                     result.netlist = generate_netlist_from_nodes(result.nodes)
                     result.netlist_text = stringify_netlist(result.netlist)

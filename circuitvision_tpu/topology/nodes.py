@@ -23,6 +23,7 @@ preserving the reference's exact tie-breaks:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Sequence
 
 import jax
@@ -32,7 +33,7 @@ import numpy as np
 from ..core import taxonomy
 from ..core.config import TopologyConfig
 from ..core.types import BBox, Node
-from ..ops.cc import connected_components
+from ..ops.cc import label_components, label_stats
 from ..ops.image import resize_bilinear
 from ..ops.morphology import boundary_mask, enhance_lines
 from .matching import touch_matrix
@@ -113,15 +114,82 @@ def _prepare_raster(
     return np.asarray(enhanced_u8).astype(np.uint8), fg, new_w / w, new_h / h
 
 
+@functools.lru_cache(maxsize=32)
+def _topology_program(cfg: TopologyConfig, in_h: int, in_w: int, max_comp: int):
+    """One jit program for the whole raster topology stage.
+
+    The stage previously ran as ~8 separate dispatches (resize, enhance,
+    label, stats, boundary, touch, plus eager glue) — each paying a full
+    host↔device round trip, which dominates single-image latency on
+    remote-attached TPUs (~420 ms of a 650 ms analyze() measured). Fused,
+    it is one dispatch and a few-KB result fetch.
+    """
+    new_h, new_w = cfg.resize_height, int(cfg.resize_height * (in_w / in_h))
+
+    def program(mask_f32, comp_boxes, comp_thr, comp_valid):
+        resized = resize_bilinear(mask_f32, (new_h, new_w))
+        default_params = (
+            cfg.use_fused_morphology
+            and cfg.blur_kernel == 5
+            and cfg.blur_sigma == 1.0
+            and cfg.morph_kernel == 3
+            and cfg.morph_iterations == 2
+        )
+        if default_params and jax.default_backend() not in ("cpu",):
+            from ..ops.pallas.fused_morphology import enhance_lines_fused
+
+            enhanced = enhance_lines_fused(resized)
+        else:
+            enhanced = jnp.round(
+                enhance_lines(
+                    resized,
+                    blur_ksize=cfg.blur_kernel,
+                    blur_sigma=cfg.blur_sigma,
+                    morph_ksize=cfg.morph_kernel,
+                    iterations=cfg.morph_iterations,
+                )
+            )
+        enhanced_u8 = jnp.clip(enhanced, 0, 255)
+        mean = jnp.mean(enhanced_u8)
+        enhanced_u8 = jnp.where(mean > 127.0, 255.0 - enhanced_u8, enhanced_u8)
+        fg = enhanced_u8 > 0
+
+        labels = label_components(fg, max_iters=256)
+        stats = label_stats(labels, max_labels=cfg.max_labels)
+        rel_area = stats.contour_area / float(new_h * new_w)
+        keep = stats.valid & (rel_area > cfg.contour_area_threshold)
+        bnd = boundary_mask(fg)
+        # cv2.boundingRect is max-exclusive; widen label boxes by 1 to
+        # match the reference broad phase (:1391-1400).
+        broad = stats.bbox + jnp.asarray([0.0, 0.0, 1.0, 1.0], jnp.float32)
+        touch = touch_matrix(
+            labels, bnd, stats.labels, broad, keep, comp_boxes, comp_thr, comp_valid
+        )
+        return enhanced_u8, labels, stats, rel_area, keep, touch
+
+    return jax.jit(program), (new_h, new_w)
+
+
+def _comp_bucket(n: int) -> int:
+    for size in (32, 64, 128, 256):
+        if n <= size:
+            return size
+    return ((n + 255) // 256) * 256
+
+
 def extract_nodes(
     wire_mask: np.ndarray,
     bboxes: Sequence[BBox],
     cfg: Optional[TopologyConfig] = None,
+    fetch_viz: bool = True,
 ) -> NodeExtraction:
     """Run the full node-extraction stage.
 
     wire_mask: (H, W) uint8 0/255 segmentation (SAM2 or classical), in the
         same coordinate space as `bboxes`.
+    fetch_viz: also pull the enhanced mask + label image to host (each is a
+        full raster transfer — skip for throughput paths that only need the
+        node graph).
     """
     cfg = cfg or TopologyConfig()
     if wire_mask is None:
@@ -129,61 +197,51 @@ def extract_nodes(
 
     # 1. Component subtraction (preserve crossover/junction/circuit/vss).
     emptied = subtract_component_boxes(wire_mask, bboxes)
+    in_h, in_w = emptied.shape[:2]
 
-    # 2-3. Resize to analysis height + line enhancement (device).
-    enhanced_u8, fg, sx, sy = _prepare_raster(emptied, cfg)
-    new_h, new_w = fg.shape
+    program, (new_h, new_w) = _topology_program(cfg, in_h, in_w, 0)
+    sx, sy = new_w / in_w, new_h / in_h
     resized_bboxes = [b.scaled(sx, sy) for b in bboxes]
 
-    # 4. Connected components + area filter (device).
-    labels, stats = connected_components(
-        fg, max_labels=cfg.max_labels, max_iters=256
-    )
-    rel_area = np.asarray(stats.contour_area) / float(new_h * new_w)
-    keep = np.asarray(stats.valid) & (rel_area > cfg.contour_area_threshold)
-
-    uniq = np.asarray(stats.labels)
-    centroids = np.asarray(stats.centroid)
-    lbl_bboxes = np.asarray(stats.bbox)
-
-    # 5. Touch matrix over electrical components only (device).
+    # Electrical components only, padded to a static bucket.
     comp_indices = [
         i for i, b in enumerate(resized_bboxes) if b.class_name not in taxonomy.NON_COMPONENTS
     ]
+    bucket = _comp_bucket(max(1, len(comp_indices)))
+    comp_boxes = np.zeros((bucket, 4), np.float32)
+    comp_thr = np.zeros(bucket, np.float32)
+    comp_valid = np.zeros(bucket, bool)
+    for col, i in enumerate(comp_indices):
+        b = resized_bboxes[i]
+        comp_boxes[col] = (b.xmin, b.ymin, b.xmax, b.ymax)
+        comp_thr[col] = taxonomy.pixel_threshold_for_class(b.class_name, cfg)
+        comp_valid[col] = True
+
+    # 2-5. One device dispatch for resize→enhance→CC→stats→touch.
+    enhanced_dev, labels_dev, stats, rel_area_dev, keep_dev, touch_dev = program(
+        jnp.asarray(emptied, jnp.float32),
+        jnp.asarray(comp_boxes),
+        jnp.asarray(comp_thr),
+        jnp.asarray(comp_valid),
+    )
+
+    # One batched host fetch for the few-KB bookkeeping arrays (sequential
+    # np.asarray calls each pay a full round trip on remote-attached TPUs).
+    fetch = [rel_area_dev, keep_dev, stats.labels, stats.centroid, touch_dev]
+    if fetch_viz:
+        fetch += [enhanced_dev, labels_dev]
+    fetched = jax.device_get(fetch)
+    rel_area, keep, uniq, centroids, touch = fetched[:5]
+    touch = touch[:, : len(comp_indices)]
+    if fetch_viz:
+        enhanced_u8 = fetched[5].astype(np.uint8)
+        labels = fetched[6]
+    else:
+        enhanced_u8 = None
+        labels = None
+
     if not comp_indices or not keep.any():
-        return NodeExtraction([], emptied, enhanced_u8, np.asarray(labels), resized_bboxes)
-
-    comp_boxes = np.asarray(
-        [
-            [resized_bboxes[i].xmin, resized_bboxes[i].ymin, resized_bboxes[i].xmax, resized_bboxes[i].ymax]
-            for i in comp_indices
-        ],
-        np.float32,
-    )
-    comp_thr = np.asarray(
-        [
-            taxonomy.pixel_threshold_for_class(resized_bboxes[i].class_name, cfg)
-            for i in comp_indices
-        ],
-        np.float32,
-    )
-    bnd = boundary_mask(fg)
-    # cv2.boundingRect is max-exclusive; widen label boxes by 1 to match
-    # the reference broad phase (:1391-1400).
-    broad_boxes = lbl_bboxes + np.asarray([0.0, 0.0, 1.0, 1.0], np.float32)
-
-    touch = np.asarray(
-        touch_matrix(
-            labels,
-            bnd,
-            jnp.asarray(uniq),
-            jnp.asarray(broad_boxes, jnp.float32),
-            jnp.asarray(keep),
-            jnp.asarray(comp_boxes),
-            jnp.asarray(comp_thr),
-            jnp.ones(len(comp_indices), bool),
-        )
-    )
+        return NodeExtraction([], emptied, enhanced_u8, labels, resized_bboxes)
 
     # 6. Build per-label component lists in bbox-list order with UID dedupe
     # (reference :1431-1443).
@@ -213,7 +271,7 @@ def extract_nodes(
     valid_nodes = [r for r in node_records if r["components"]]
     if not valid_nodes:
         return NodeExtraction(
-            [], emptied, enhanced_u8, np.asarray(labels), resized_bboxes,
+            [], emptied, enhanced_u8, labels, resized_bboxes,
             raw_node_count=len(node_records),
         )
 
@@ -223,7 +281,7 @@ def extract_nodes(
     # 8. Renumbering (reference :1547-1582).
     nodes = _renumber(valid_nodes, ground_old_id)
     return NodeExtraction(
-        nodes, emptied, enhanced_u8, np.asarray(labels), resized_bboxes,
+        nodes, emptied, enhanced_u8, labels, resized_bboxes,
         raw_node_count=len(node_records),
     )
 
