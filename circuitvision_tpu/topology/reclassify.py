@@ -13,8 +13,10 @@ by the main node stage.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,6 +39,31 @@ def segment_classical(image_rgb: np.ndarray, cfg: Optional[TopologyConfig] = Non
     return np.asarray(mask)
 
 
+@functools.lru_cache(maxsize=32)
+def _reclass_program(cfg: TopologyConfig, h: int, w: int):
+    """One jit program for the preliminary reclassification raster stage
+    (invert check → CC → stats → boundary → touch), mirroring the fused
+    topology program — a single dispatch instead of ~6 on remote TPUs."""
+
+    def program(wire_f32, comp_boxes, comp_thr, comp_valid):
+        fg_raw = wire_f32 > 0
+        # Auto-invert when mostly white (get_contours semantics, :398).
+        fg = jnp.where(jnp.mean(wire_f32) > 127.0, ~fg_raw, fg_raw)
+        labels, stats = connected_components(
+            fg, max_labels=cfg.max_labels, max_iters=256
+        )
+        rel_area = stats.contour_area / float(h * w)
+        keep = stats.valid & (rel_area > cfg.prelim_contour_area_threshold)
+        broad = stats.bbox + jnp.asarray([0.0, 0.0, 1.0, 1.0], jnp.float32)
+        touch = touch_matrix(
+            labels, boundary_mask(fg), stats.labels, broad, keep,
+            comp_boxes, comp_thr, comp_valid,
+        )
+        return keep, touch
+
+    return jax.jit(program)
+
+
 def reclassify_terminals(
     image_rgb: np.ndarray,
     bboxes: Sequence[BBox],
@@ -44,6 +71,8 @@ def reclassify_terminals(
 ) -> list[BBox]:
     """Return a new bbox list with multi-connected terminals relabeled
     'voltage.dc' (the reference mutates in place; we return copies)."""
+    from .nodes import _comp_bucket
+
     cfg = cfg or TopologyConfig()
     out = [dataclasses.replace(b) for b in bboxes]
     terminal_idx = [i for i, b in enumerate(out) if b.class_name == "terminal"]
@@ -52,35 +81,28 @@ def reclassify_terminals(
 
     mask = segment_classical(image_rgb, cfg)
     wire = subtract_component_boxes(mask, out)
-
     h, w = wire.shape
-    fg_raw = jnp.asarray(wire) > 0
-    # Auto-invert when mostly white (get_contours semantics, :398).
-    fg = jnp.where(jnp.mean(jnp.asarray(wire, jnp.float32)) > 127.0, ~fg_raw, fg_raw)
-    labels, stats = connected_components(fg, max_labels=cfg.max_labels, max_iters=256)
-    rel_area = np.asarray(stats.contour_area) / float(h * w)
-    keep = np.asarray(stats.valid) & (rel_area > cfg.prelim_contour_area_threshold)
+
+    bucket = _comp_bucket(len(terminal_idx))
+    comp_boxes = np.zeros((bucket, 4), np.float32)
+    comp_thr = np.full(bucket, float(cfg.reclass_pixel_threshold), np.float32)
+    comp_valid = np.zeros(bucket, bool)
+    for col, i in enumerate(terminal_idx):
+        b = out[i]
+        comp_boxes[col] = (b.xmin, b.ymin, b.xmax, b.ymax)
+        comp_valid[col] = True
+
+    program = _reclass_program(cfg, h, w)
+    keep_dev, touch_dev = program(
+        jnp.asarray(wire, jnp.float32),
+        jnp.asarray(comp_boxes),
+        jnp.asarray(comp_thr),
+        jnp.asarray(comp_valid),
+    )
+    keep, touch = jax.device_get([keep_dev, touch_dev])
+    touch = touch[:, : len(terminal_idx)]
     if not keep.any():
         return out
-
-    comp_boxes = np.asarray(
-        [[out[i].xmin, out[i].ymin, out[i].xmax, out[i].ymax] for i in terminal_idx],
-        np.float32,
-    )
-    thr = np.full(len(terminal_idx), float(cfg.reclass_pixel_threshold), np.float32)
-    broad = np.asarray(stats.bbox) + np.asarray([0.0, 0.0, 1.0, 1.0], np.float32)
-    touch = np.asarray(
-        touch_matrix(
-            labels,
-            boundary_mask(fg),
-            stats.labels,
-            jnp.asarray(broad, jnp.float32),
-            jnp.asarray(keep),
-            jnp.asarray(comp_boxes),
-            jnp.asarray(thr),
-            jnp.ones(len(terminal_idx), bool),
-        )
-    )
 
     for col, i in enumerate(terminal_idx):
         distinct = int(touch[:, col].sum())
