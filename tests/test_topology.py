@@ -205,3 +205,12 @@ class TestEnumerate:
         snapshot = img.copy()
         enumerate_components(img, [_bbox("resistor", 100, 100, 150, 130)])
         assert (img == snapshot).all()
+
+
+class TestFetchVizFlag:
+    def test_no_viz_fetch_still_builds_nodes(self):
+        mask, boxes = loop_circuit()
+        result = extract_nodes(mask, boxes, fetch_viz=False)
+        assert len(result.nodes) == 2
+        assert result.enhanced_mask is None
+        assert result.label_image is None
