@@ -1,0 +1,283 @@
+"""Synthetic schematic renderer for the eval set and the end-to-end bench.
+
+Renders small circuits as white-background images with black wire strokes
+(the classical adaptive-threshold mask recovers the wire raster exactly
+like a clean scanned schematic), plus ground-truth detections, the wire
+mask, canned stage-2 VLM labels (values), and the pinned final netlist
+text each circuit must produce through the classical pipeline with
+oracle detections.
+
+The pinned netlists were derived by running the pipeline once and then
+verifying every line against the drawn topology by hand (same procedure
+as tests/test_golden_circuit.py); they are the north-star fidelity
+target of BASELINE.md ("netlist text exact-match").
+
+Reference data layout consumed by scripts/eval_pipeline.py:
+    images/<name>.png     netlists/<name>.cir
+    boxes/<name>.json     masks/<name>.png      labels/<name>.json
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..core.types import BBox
+
+STROKE = 3  # wire thickness in px at scale 1
+
+
+@dataclasses.dataclass
+class SynthCircuit:
+    name: str
+    image: np.ndarray          # (H, W, 3) uint8 white bg / black strokes
+    boxes: list                # GT detections (full-image coords)
+    wire_mask: np.ndarray      # (H, W) uint8 0/255 wires only
+    vlm_labels: list           # canned stage-2 VLM output (values)
+    directions: dict           # {class: (direction, reason)} stage-1 VLM
+    netlist_text: str          # pinned FINAL netlist (values merged)
+    valueless_text: str        # pinned valueless netlist
+
+
+def _bbox(cls, x0, y0, x1, y1, conf=0.9):
+    return BBox(class_name=cls, confidence=conf, xmin=x0, ymin=y0, xmax=x1, ymax=y1)
+
+
+class _Canvas:
+    """Wire strokes are drawn into BOTH the image (black) and the GT mask
+    (white); component glyphs go into the image only."""
+
+    def __init__(self, h: int, w: int, t: int = STROKE):
+        self.image = np.full((h, w, 3), 255, np.uint8)
+        self.mask = np.zeros((h, w), np.uint8)
+        self.t = t
+
+    def hwire(self, y, x0, x1):
+        self.image[y : y + self.t, x0:x1] = 0
+        self.mask[y : y + self.t, x0:x1] = 255
+
+    def vwire(self, x, y0, y1):
+        self.image[y0:y1, x : x + self.t] = 0
+        self.mask[y0:y1, x : x + self.t] = 255
+
+    def glyph_box(self, x0, y0, x1, y1):
+        """Hollow rectangle inside a component bbox (image only — node
+        extraction subtracts the bbox, so glyph pixels never reach the
+        topology)."""
+        self.image[y0:y1, x0 : x0 + 2] = 0
+        self.image[y0:y1, x1 - 2 : x1] = 0
+        self.image[y0 : y0 + 2, x0:x1] = 0
+        self.image[y1 - 2 : y1, x0:x1] = 0
+
+
+def golden() -> SynthCircuit:
+    """The 4-node golden circuit (tests/test_golden_circuit.py layout)."""
+    c = _Canvas(400, 500)
+    c.hwire(60, 60, 440)
+    c.vwire(60, 60, 340)
+    c.vwire(250, 60, 340)
+    c.vwire(437, 60, 340)
+    c.hwire(337, 60, 440)
+    c.vwire(60, 337, 380)
+    boxes = [
+        _bbox("voltage.dc", 45, 150, 78, 250),
+        _bbox("resistor", 110, 45, 190, 78),
+        _bbox("resistor", 300, 45, 380, 78),
+        _bbox("capacitor.unpolarized", 235, 150, 268, 250),
+        _bbox("gnd", 45, 355, 78, 385),
+        _bbox("junction", 245, 330, 258, 345),
+        _bbox("text", 110, 10, 180, 30),
+    ]
+    for b in boxes:
+        if b.class_name not in ("junction", "text"):
+            c.glyph_box(b.xmin + 4, b.ymin + 4, b.xmax - 4, b.ymax - 4)
+    labels = [
+        {"id": "1", "class": "voltage.dc", "value": "10"},
+        {"id": "2", "class": "resistor", "value": "1k"},
+        {"id": "3", "class": "resistor", "value": "2k"},
+        {"id": "4", "class": "capacitor.unpolarized", "value": "1u"},
+        {"id": "5", "class": "gnd", "value": None},
+    ]
+    return SynthCircuit(
+        name="golden",
+        image=c.image,
+        boxes=boxes,
+        wire_mask=c.mask,
+        vlm_labels=labels,
+        directions={"voltage.dc": ("UP", "SIGN")},
+        netlist_text="V1 0 1 10\nR1 1 0 1k\nR2 2 0 2k\nC1 2 0 1u",
+        valueless_text="V1 0 1 None\nR1 1 0 None\nR2 2 0 None\nC1 2 0 None",
+    )
+
+
+def loop() -> SynthCircuit:
+    """Single V–R loop (tests/test_pipeline.py layout)."""
+    c = _Canvas(300, 400)
+    c.hwire(50, 50, 313)
+    c.hwire(250, 50, 313)
+    c.vwire(50, 50, 253)
+    c.vwire(310, 50, 253)
+    boxes = [
+        _bbox("voltage.dc", 35, 120, 70, 180),
+        _bbox("resistor", 150, 35, 250, 70),
+    ]
+    for b in boxes:
+        c.glyph_box(b.xmin + 4, b.ymin + 4, b.xmax - 4, b.ymax - 4)
+    labels = [
+        {"id": "1", "class": "voltage.dc", "value": "10"},
+        {"id": "2", "class": "resistor", "value": "1k"},
+    ]
+    return SynthCircuit(
+        name="loop",
+        image=c.image,
+        boxes=boxes,
+        wire_mask=c.mask,
+        vlm_labels=labels,
+        directions={"voltage.dc": ("UP", "SIGN")},
+        netlist_text="V1 0 1 10\nR1 1 0 1k",
+        valueless_text="V1 0 1 None\nR1 1 0 None",
+    )
+
+
+def parallel_r() -> SynthCircuit:
+    """V source feeding two parallel resistors; gnd stub bottom-left."""
+    c = _Canvas(350, 450)
+    c.hwire(60, 60, 400)
+    c.hwire(290, 60, 400)
+    c.vwire(60, 60, 293)     # V branch
+    c.vwire(220, 60, 293)    # R1 branch
+    c.vwire(397, 60, 293)    # R2 branch
+    c.vwire(60, 290, 330)    # gnd stub
+    boxes = [
+        _bbox("voltage.dc", 45, 130, 78, 220),
+        _bbox("resistor", 205, 130, 238, 220),
+        _bbox("resistor", 382, 130, 415, 220),
+        _bbox("gnd", 45, 305, 78, 335),
+    ]
+    for b in boxes:
+        c.glyph_box(b.xmin + 4, b.ymin + 4, b.xmax - 4, b.ymax - 4)
+    labels = [
+        {"id": "1", "class": "voltage.dc", "value": "5"},
+        {"id": "2", "class": "resistor", "value": "100"},
+        {"id": "3", "class": "resistor", "value": "200"},
+        {"id": "4", "class": "gnd", "value": None},
+    ]
+    return SynthCircuit(
+        name="parallel_r",
+        image=c.image,
+        boxes=boxes,
+        wire_mask=c.mask,
+        vlm_labels=labels,
+        directions={"voltage.dc": ("UP", "SIGN")},
+        netlist_text="V1 0 1 5\nR1 1 0 100\nR2 1 0 200",
+        valueless_text="V1 0 1 None\nR1 1 0 None\nR2 1 0 None",
+    )
+
+
+def series_rl() -> SynthCircuit:
+    """Series V–R–L loop: R on the top rail, L on the right vertical."""
+    c = _Canvas(300, 450)
+    c.hwire(50, 50, 348)
+    c.hwire(250, 50, 348)
+    c.vwire(50, 50, 253)
+    c.vwire(345, 50, 253)
+    c.vwire(50, 250, 285)    # gnd stub
+    boxes = [
+        _bbox("voltage.dc", 35, 110, 68, 190),
+        _bbox("resistor", 150, 35, 230, 68),
+        _bbox("inductor", 330, 110, 363, 190),
+        _bbox("gnd", 35, 260, 68, 290),
+    ]
+    for b in boxes:
+        c.glyph_box(b.xmin + 4, b.ymin + 4, b.xmax - 4, b.ymax - 4)
+    labels = [
+        {"id": "1", "class": "voltage.dc", "value": "12"},
+        {"id": "2", "class": "resistor", "value": "1k"},
+        {"id": "3", "class": "inductor", "value": "10m"},
+        {"id": "4", "class": "gnd", "value": None},
+    ]
+    return SynthCircuit(
+        name="series_rl",
+        image=c.image,
+        boxes=boxes,
+        wire_mask=c.mask,
+        vlm_labels=labels,
+        directions={"voltage.dc": ("UP", "SIGN")},
+        netlist_text="V1 0 1 12\nR1 2 1 1k\nL1 2 0 10m",
+        valueless_text="V1 0 1 None\nL1 2 0 None\nR1 2 1 None",
+    )
+
+
+def ac_rc() -> SynthCircuit:
+    """AC source with series R (top) and C (right vertical)."""
+    c = _Canvas(320, 420)
+    c.hwire(55, 55, 373)
+    c.hwire(265, 55, 373)
+    c.vwire(55, 55, 268)
+    c.vwire(370, 55, 268)
+    c.vwire(55, 265, 300)    # gnd stub
+    boxes = [
+        _bbox("voltage.ac", 40, 120, 73, 200),
+        _bbox("resistor", 150, 40, 230, 73),
+        _bbox("capacitor.unpolarized", 355, 120, 388, 200),
+        _bbox("gnd", 40, 275, 73, 305),
+    ]
+    for b in boxes:
+        c.glyph_box(b.xmin + 4, b.ymin + 4, b.xmax - 4, b.ymax - 4)
+    labels = [
+        {"id": "1", "class": "voltage.ac", "value": "4:-45"},
+        {"id": "2", "class": "resistor", "value": "100"},
+        {"id": "3", "class": "capacitor.unpolarized", "value": "1u"},
+        {"id": "4", "class": "gnd", "value": None},
+    ]
+    return SynthCircuit(
+        name="ac_rc",
+        image=c.image,
+        boxes=boxes,
+        wire_mask=c.mask,
+        vlm_labels=labels,
+        directions={"voltage.ac": ("UP", "SIGN")},
+        netlist_text="V1 0 1 4:-45\nR1 2 1 100\nC1 2 0 1u",
+        valueless_text="V1 0 1 None\nC1 2 0 None\nR1 2 1 None",
+    )
+
+
+def make_circuits() -> list[SynthCircuit]:
+    return [golden(), loop(), parallel_r(), series_rl(), ac_rc()]
+
+
+def write_eval_set(root: str, circuits: Optional[Sequence[SynthCircuit]] = None):
+    """Write circuits in the eval-set layout scripts/eval_pipeline.py reads."""
+    from PIL import Image
+
+    circuits = circuits if circuits is not None else make_circuits()
+    for sub in ("images", "boxes", "masks", "netlists", "labels"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    for c in circuits:
+        Image.fromarray(c.image).save(os.path.join(root, "images", f"{c.name}.png"))
+        Image.fromarray(c.wire_mask).save(os.path.join(root, "masks", f"{c.name}.png"))
+        with open(os.path.join(root, "boxes", f"{c.name}.json"), "w") as f:
+            json.dump(
+                [
+                    {
+                        "class": b.class_name,
+                        "confidence": b.confidence,
+                        "xmin": b.xmin,
+                        "ymin": b.ymin,
+                        "xmax": b.xmax,
+                        "ymax": b.ymax,
+                    }
+                    for b in c.boxes
+                ],
+                f,
+                indent=1,
+            )
+        with open(os.path.join(root, "netlists", f"{c.name}.cir"), "w") as f:
+            f.write(c.netlist_text)
+        with open(os.path.join(root, "labels", f"{c.name}.json"), "w") as f:
+            json.dump(
+                {"labels": c.vlm_labels, "directions": c.directions}, f, indent=1
+            )

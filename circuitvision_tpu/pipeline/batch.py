@@ -1,30 +1,62 @@
 """Batched multi-image inference sharded over a TPU mesh.
 
-The throughput path for the ≥50 images/s north star (BASELINE.json):
-host threads decode/letterbox images and fill fixed-shape device batches;
-one jit program per batch runs YOLO detect (+device NMS) and SAM2
-segmentation with the batch dim sharded over the mesh's data axis (pure
-DP — both models fit on one chip, SURVEY.md §2.4); host post-processing
-(topology → netlist) overlaps with the next batch's device step.
+The throughput path for the ≥50 images/s north star (BASELINE.json),
+with the SAME stage semantics as `CircuitAnalyzerTPU.analyze()`
+(reference ordering: src/analysis_pipeline.py:97-326):
+
+  device detect (batched, data-sharded) → host confidence-NMS + cluster
+  crop → device SAM2 on the CROPPED images (batched) → bilinear logit
+  upsample + threshold per crop shape → host reclassify / enrich /
+  node-extraction / netlist.
+
+TPU-native design choices:
+  * detect and segment are two fixed-shape jit programs with the batch
+    dim sharded over the mesh's data axis (pure DP — both models fit on
+    one chip, SURVEY.md §2.4);
+  * images upload once as uint8; letterboxing, crop slicing and SAM2
+    preprocessing run on device so no float canvas ever crosses the
+    host↔device link;
+  * final masks come back bit-packed (8 pixels/byte) — the mask is the
+    only large fetch in the loop and links to remote chips are slow;
+  * host post-processing of batch N overlaps the device work of batch
+    N+1 via a producer thread.
+
+The only per-image artifact `analyze()` produces that this path skips is
+`sam_mask_display` (a full-resolution RGB visualization); everything
+that feeds the netlist is identical.
 """
 from __future__ import annotations
 
 import dataclasses
+import logging
 import queue
 import threading
-import time
-from typing import Iterable, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core import geometry, taxonomy
 from ..core.config import PipelineConfig
 from ..core.types import AnalysisResult, BBox
 from ..models.yolo.decode import decode_predictions, postprocess
+from ..netlist.generate import (
+    generate_fallback_netlist,
+    generate_netlist_from_nodes,
+    stringify_netlist,
+)
 from ..ops.image import letterbox, sam2_preprocess
 from ..parallel.mesh import make_mesh
+from ..topology.crop import crop_image_and_adjust_bboxes
+from ..topology.nodes import extract_nodes
+from ..topology.reclassify import reclassify_terminals, segment_classical
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+logger = logging.getLogger(__name__)
+
+# Bit weights matching np.unpackbits' big-endian bit order.
+_BIT_WEIGHTS = (128, 64, 32, 16, 8, 4, 2, 1)
 
 
 @dataclasses.dataclass
@@ -38,6 +70,18 @@ class BatchOutputs:
     masks: np.ndarray  # (B, S, S) uint8 at SAM resolution
     scales: np.ndarray  # (B,) letterbox scale per image
     pads: np.ndarray  # (B, 2)
+
+
+@dataclasses.dataclass
+class _Staged:
+    """Per-image state carried from the device phase to the host phase."""
+
+    image: np.ndarray
+    crop: np.ndarray
+    bboxes_orig_nms: list
+    bboxes: list
+    crop_info: object
+    mask: Optional[np.ndarray]  # (hc, wc) uint8 0/255 or None
 
 
 class BatchedPipeline:
@@ -65,9 +109,25 @@ class BatchedPipeline:
             in_shardings=(self._rep, self._rep, self._bsh, self._bsh),
             out_shardings=self._bsh,
         )
+        self._detect = jax.jit(
+            self._detect_step,
+            in_shardings=(self._rep, self._bsh),
+            out_shardings=self._bsh,
+        )
+        self._segment = (
+            jax.jit(
+                self._segment_step,
+                in_shardings=(self._rep, self._bsh),
+                out_shardings=self._bsh,
+            )
+            if self.analyzer.sam2 is not None
+            else None
+        )
+        self._mask_fns: dict = {}  # (h, w) → jitted finalize program
 
-    # -- device program -------------------------------------------------
-    def _device_step(self, yolo_vars, sam_vars, det_imgs, seg_imgs):
+    # -- device programs -------------------------------------------------
+    def _detect_step(self, yolo_vars, det_imgs):
+        """YOLO forward + DFL decode + device NMS on a letterboxed batch."""
         det = self.cfg.detector
         outs = self.analyzer.yolo.apply(yolo_vars, det_imgs)
         boxes, scores = decode_predictions(outs, det.reg_max, det.num_classes)
@@ -78,13 +138,49 @@ class BatchedPipeline:
             conf_threshold=det.conf_threshold,
             iou_threshold=det.iou_threshold,
         )
+        return dets.boxes, dets.scores, dets.classes, dets.valid
+
+    def _segment_step(self, sam_vars, seg_imgs):
+        """SAM2 forward: (B, S, S, 3) preprocessed → (B, S, S) mask logits."""
+        high, _low, _iou = self.analyzer.sam2.apply(sam_vars, seg_imgs)
+        return high[..., 0].astype(jnp.float32)
+
+    def _device_step(self, yolo_vars, sam_vars, det_imgs, seg_imgs):
+        """Legacy combined step for `run_batch`: detect + S-resolution mask."""
+        boxes, scores, classes, valid = self._detect_step(yolo_vars, det_imgs)
         if self.analyzer.sam2 is not None:
-            high, _low, _iou = self.analyzer.sam2.apply(sam_vars, seg_imgs)
-            masks = (high[..., 0] > self.cfg.sam2.mask_threshold).astype(jnp.uint8)
+            logits = self._segment_step(sam_vars, seg_imgs)
+            masks = (logits > self.cfg.sam2.mask_threshold).astype(jnp.uint8)
         else:
             s = self.cfg.sam2.resolution
             masks = jnp.zeros((det_imgs.shape[0], s, s), jnp.uint8)
-        return dets.boxes, dets.scores, dets.classes, dets.valid, masks
+        return boxes, scores, classes, valid, masks
+
+    def _mask_program(self, h: int, w: int):
+        """Jitted per-crop-shape finalize: S² logits → bilinear upsample to
+        (h, w) → threshold → bit-pack rows (np.unpackbits order).
+
+        The bilinear-then-threshold order matches `segment_with_sam2`
+        (analyzer.py) and the reference's SAM2Transforms postprocessing
+        (src/sam2_infer.py:117-121); packing is lossless and cuts the
+        only large device→host fetch in the loop by 8×.
+        """
+        fn = self._mask_fns.get((h, w))
+        if fn is None:
+            thr = self.cfg.sam2.mask_threshold
+            w8 = (w + 7) // 8
+
+            def finalize(logits):
+                full = jax.image.resize(logits, (h, w), method="linear")
+                m = (full > thr).astype(jnp.uint32)
+                m = jnp.pad(m, ((0, 0), (0, w8 * 8 - w)))
+                bits = m.reshape(h, w8, 8)
+                weights = jnp.asarray(_BIT_WEIGHTS, jnp.uint32)
+                return (bits * weights).sum(-1).astype(jnp.uint8)
+
+            fn = jax.jit(finalize)
+            self._mask_fns[(h, w)] = fn
+        return fn
 
     # -- host staging ---------------------------------------------------
     def _prepare(self, images: Sequence[np.ndarray]):
@@ -104,7 +200,11 @@ class BatchedPipeline:
         return det_batch, seg_batch, scales, pads
 
     def run_batch(self, images: Sequence[np.ndarray]) -> BatchOutputs:
-        """Detect + segment up to batch_size images in one device step."""
+        """Detect + segment up to batch_size images in one device step.
+
+        Low-level API: full-image segmentation at SAM resolution, no crop
+        or host topology. `analyze_many` is the full-pipeline path.
+        """
         assert len(images) <= self.batch_size
         det_batch, seg_batch, scales, pads = self._prepare(images)
         det_dev = jax.device_put(jnp.asarray(det_batch), self._bsh)
@@ -125,16 +225,177 @@ class BatchedPipeline:
             pads=pads,
         )
 
+    # -- full-pipeline phases --------------------------------------------
+    def _detect_bboxes(self, chunk: Sequence[np.ndarray]) -> list[list[BBox]]:
+        """Batched device detection → per-image confidence-NMS'd BBoxes.
+
+        Mirrors analyze() stage [1]: letterbox (device, from the uint8
+        upload) → YOLO+decode+NMS (one sharded program) → unletterbox →
+        rounded BBoxes → dict-level confidence NMS.
+        """
+        det = self.cfg.detector
+        canvases = []
+        meta = []  # (scale, pad_x, pad_y, w, h)
+        for img in chunk:
+            h, w = img.shape[:2]
+            scale = min(det.img_size / h, det.img_size / w)
+            canvas, _s, _p = letterbox(jnp.asarray(img), det.img_size)
+            canvases.append(canvas / 255.0)
+            pad_y = (det.img_size - int(round(h * scale))) // 2
+            pad_x = (det.img_size - int(round(w * scale))) // 2
+            meta.append((scale, pad_x, pad_y, w, h))
+        while len(canvases) < self.batch_size:
+            canvases.append(jnp.zeros_like(canvases[0]))
+        det_batch = jax.device_put(jnp.stack(canvases), self._bsh)
+        boxes, scores, classes, valid = jax.device_get(
+            self._detect(self.analyzer.yolo_variables, det_batch)
+        )
+        out: list[list[BBox]] = []
+        for i, (scale, px, py, w, h) in enumerate(meta):
+            bxs = []
+            for d in range(det.max_detections):
+                if not valid[i, d]:
+                    continue
+                # unletterbox_boxes (models/yolo/decode.py:105) on host
+                x0 = min(max((float(boxes[i, d, 0]) - px) / scale, 0.0), w)
+                y0 = min(max((float(boxes[i, d, 1]) - py) / scale, 0.0), h)
+                x1 = min(max((float(boxes[i, d, 2]) - px) / scale, 0.0), w)
+                y1 = min(max((float(boxes[i, d, 3]) - py) / scale, 0.0), h)
+                bxs.append(
+                    BBox(
+                        class_name=taxonomy.ID_TO_NAME.get(
+                            int(classes[i, d]), "unknown"
+                        ),
+                        confidence=float(scores[i, d]),
+                        xmin=round(x0),
+                        ymin=round(y0),
+                        xmax=round(x1),
+                        ymax=round(y1),
+                        class_id=int(classes[i, d]),
+                    )
+                )
+            out.append(
+                geometry.nms_by_confidence(bxs, iou_threshold=self.cfg.nms.iou_threshold)
+            )
+        return out
+
+    def _device_phase(self, chunk: Sequence[np.ndarray]) -> list[_Staged]:
+        """Stages [1]-[2b] for one chunk: detect → crop → SAM2 on crops."""
+        per_image = self._detect_bboxes(chunk)
+
+        staged: list[_Staged] = []
+        seg_inputs = []
+        for img, nms_boxes in zip(chunk, per_image):
+            crop, bboxes, info = crop_image_and_adjust_bboxes(
+                img, nms_boxes, self.cfg.crop
+            )
+            staged.append(_Staged(img, crop, nms_boxes, bboxes, info, None))
+            if self._segment is not None:
+                seg_inputs.append(
+                    sam2_preprocess(jnp.asarray(crop), self.cfg.sam2.resolution)
+                )
+
+        logits = None
+        if self._segment is not None:
+            try:
+                s = self.cfg.sam2.resolution
+                while len(seg_inputs) < self.batch_size:
+                    seg_inputs.append(jnp.zeros((s, s, 3), jnp.float32))
+                seg_batch = jax.device_put(jnp.stack(seg_inputs), self._bsh)
+                logits = self._segment(
+                    self.analyzer.sam2_variables or {}, seg_batch
+                )
+            except Exception:
+                logger.exception("batched SAM2 segmentation failed")
+                logits = None
+
+        for i, st in enumerate(staged):
+            hc, wc = st.crop.shape[:2]
+            if logits is not None:
+                packed = np.asarray(self._mask_program(hc, wc)(logits[i]))
+                st.mask = (
+                    np.unpackbits(packed, axis=1)[:, :wc].astype(np.uint8) * 255
+                )
+            elif self.analyzer.classical_fallback:
+                st.mask = np.asarray(segment_classical(st.crop, self.cfg.topology))
+        return staged
+
+    def _host_phase(self, st: _Staged) -> AnalysisResult:
+        """Stages [3]-[6] for one image: reclassify → enrich → nodes →
+        netlist (+enumeration). Same degradation ladders and logging as
+        analyze() — no silent failures."""
+        from ..enrich.directions import enrich_directions
+        from ..topology.enumerate_components import enumerate_components
+
+        cfg = self.cfg
+        result = AnalysisResult(
+            original_image=st.image,
+            image_for_analysis=st.crop,
+            bboxes_orig_nms=st.bboxes_orig_nms,
+            bboxes=st.bboxes,
+            crop_info=st.crop_info,
+            sam_mask=st.mask,
+        )
+
+        try:
+            result.bboxes = reclassify_terminals(st.crop, result.bboxes, cfg.topology)
+        except Exception:
+            logger.exception("terminal reclassification failed; continuing")
+
+        try:
+            result.bboxes = enrich_directions(
+                st.crop, result.bboxes, self.analyzer.vlm_client, cfg.enrich
+            )
+        except Exception:
+            logger.exception("direction enrichment failed; continuing")
+
+        if result.sam_mask is not None:
+            try:
+                extraction = extract_nodes(
+                    result.sam_mask, result.bboxes, cfg.topology, fetch_viz=False
+                )
+                result.nodes = extraction.nodes
+            except Exception:
+                logger.exception("node analysis failed; continuing")
+        else:
+            logger.warning("node analysis skipped: no wire mask available")
+
+        if result.nodes:
+            result.netlist = generate_netlist_from_nodes(result.nodes)
+            result.valueless_netlist_text = stringify_netlist(result.netlist)
+            result.netlist_text = result.valueless_netlist_text
+            nodes_unknown = [
+                dataclasses.replace(
+                    n,
+                    components=[
+                        dataclasses.replace(c, semantic_direction="UNKNOWN")
+                        for c in n.components
+                    ],
+                )
+                for n in result.nodes
+            ]
+            result.valueless_netlist_text_no_vlm_dir = stringify_netlist(
+                generate_netlist_from_nodes(nodes_unknown)
+            )
+            result.enum_image, result.enum_bboxes = enumerate_components(
+                st.crop, result.bboxes
+            )
+        else:
+            logger.warning("no nodes; generating components-only fallback netlist")
+            result.netlist = generate_fallback_netlist(result.bboxes)
+            result.valueless_netlist_text = stringify_netlist(result.netlist)
+            result.netlist_text = result.valueless_netlist_text
+
+        result.component_stats = self.analyzer._component_stats(result.bboxes_orig_nms)
+        return result
+
     def analyze_many(
         self, images: Sequence[np.ndarray], prefetch: int = 2
     ) -> list[AnalysisResult]:
-        """Full pipeline over many images: double-buffered device batches
-        with host topology/netlist overlapped on the previous batch."""
-        from ..core import taxonomy, geometry
-        from ..netlist.generate import generate_netlist_from_nodes, stringify_netlist
-        from ..topology.nodes import extract_nodes
-
-        results: list[AnalysisResult] = []
+        """Full pipeline over many images with analyze() semantics:
+        double-buffered device batches (detect + crop-SAM2) with host
+        reclassify/enrich/topology/netlist overlapped on the previous
+        batch."""
         chunks = [
             list(images[i : i + self.batch_size])
             for i in range(0, len(images), self.batch_size)
@@ -143,61 +404,25 @@ class BatchedPipeline:
         out_q: "queue.Queue" = queue.Queue(maxsize=prefetch)
 
         def producer():
-            for chunk in chunks:
-                out_q.put((chunk, self.run_batch(chunk)))
+            try:
+                for chunk in chunks:
+                    out_q.put(self._device_phase(chunk))
+            except Exception as e:  # pragma: no cover - surfaced to caller
+                out_q.put(e)
             out_q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
 
-        det = self.cfg.detector
+        results: list[AnalysisResult] = []
         while True:
             item = out_q.get()
             if item is None:
                 break
-            chunk, out = item
-            for i, img in enumerate(chunk):
-                h, w = img.shape[:2]
-                bxs = []
-                for d in range(det.max_detections):
-                    if not out.valid[i, d]:
-                        continue
-                    sc, (px, py) = out.scales[i], out.pads[i]
-                    x0 = (out.boxes[i, d, 0] - px) / sc
-                    y0 = (out.boxes[i, d, 1] - py) / sc
-                    x1 = (out.boxes[i, d, 2] - px) / sc
-                    y1 = (out.boxes[i, d, 3] - py) / sc
-                    name = taxonomy.ID_TO_NAME.get(int(out.classes[i, d]), "unknown")
-                    bxs.append(
-                        BBox(
-                            class_name=name,
-                            confidence=float(out.scores[i, d]),
-                            xmin=round(max(0.0, min(float(x0), w))),
-                            ymin=round(max(0.0, min(float(y0), h))),
-                            xmax=round(max(0.0, min(float(x1), w))),
-                            ymax=round(max(0.0, min(float(y1), h))),
-                            class_id=int(out.classes[i, d]),
-                        )
-                    )
-                bxs = geometry.nms_by_confidence(bxs, self.cfg.nms.iou_threshold)
-                mask_full = np.asarray(
-                    jax.image.resize(
-                        jnp.asarray(out.masks[i], jnp.float32), (h, w), method="nearest"
-                    )
-                ).astype(np.uint8) * 255
-
-                result = AnalysisResult(
-                    original_image=img, image_for_analysis=img,
-                    bboxes_orig_nms=bxs, bboxes=bxs, sam_mask=mask_full,
-                )
-                try:
-                    extraction = extract_nodes(mask_full, bxs, self.cfg.topology, fetch_viz=False)
-                    result.nodes = extraction.nodes
-                    result.netlist = generate_netlist_from_nodes(result.nodes)
-                    result.netlist_text = stringify_netlist(result.netlist)
-                    result.valueless_netlist_text = result.netlist_text
-                except Exception:
-                    pass
-                results.append(result)
+            if isinstance(item, Exception):
+                t.join()
+                raise item
+            for st in item:
+                results.append(self._host_phase(st))
         t.join()
         return results

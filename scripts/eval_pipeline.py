@@ -1,10 +1,10 @@
 """End-to-end evaluation harness.
 
-Scores the pipeline against an eval set once converted checkpoints are
-available, reporting the three acceptance metrics of BASELINE.md:
-detection mAP@50 (reference publishes 0.9313), segmentation pixel
-accuracy (reference publishes 98.7%), and netlist text exact-match vs
-reference netlists (the build's north-star fidelity metric).
+Scores the pipeline against an eval set, reporting the three acceptance
+metrics of BASELINE.md: detection mAP@50 (reference publishes 0.9313),
+segmentation pixel accuracy (reference publishes 98.7%), and netlist
+text exact-match vs reference netlists (the build's north-star fidelity
+metric).
 
 Layout of --data:
     images/<name>.(png|jpg)          input circuit images
@@ -12,14 +12,31 @@ Layout of --data:
     boxes/<name>.json                GT detections            (optional)
         [{"class": ..., "xmin": ..., "ymin": ..., "xmax": ..., "ymax": ...}]
     masks/<name>.png                 GT wire masks (0/255)    (optional)
+    labels/<name>.json               canned VLM output        (optional)
+        {"labels": [...stage-2 rows...], "directions": {class: [dir, why]}}
+
+Modes:
+  * default: full model path (requires converted checkpoints for
+    meaningful numbers).
+  * --oracle-boxes: inject the GT boxes as detections — isolates the
+    post-detection pipeline (crop → segment → topology → netlist), the
+    configuration the synthetic fidelity gate runs in CI
+    (tests/test_eval_end_to_end.py).
+  * --classical-mask: disable SAM2, segment with the adaptive threshold.
+
+A labels/<name>.json primes a FakeVLMClient per image (deterministic
+replay of a VLM response) and enables the final value-merged netlist.
 
 Usage:
+    python scripts/eval_pipeline.py --data eval_data/ \
+        --oracle-boxes --classical-mask
     python scripts/eval_pipeline.py --data eval/ \
         --yolo-checkpoint ckpt/yolo --sam2-checkpoint ckpt/sam2
 """
 from __future__ import annotations
 
 import argparse
+import copy
 import glob
 import json
 import os
@@ -30,21 +47,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main() -> int:
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--data", required=True)
-    parser.add_argument("--yolo-checkpoint")
-    parser.add_argument("--sam2-checkpoint")
-    parser.add_argument("--scale", default="l", choices=list("nsmlx"))
-    parser.add_argument("--limit", type=int, default=0)
-    args = parser.parse_args()
-
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-
+def run_eval(args) -> dict:
     from circuitvision_tpu.core.config import DetectorConfig, PipelineConfig
     from circuitvision_tpu.core.types import BBox
+    from circuitvision_tpu.enrich.client import FakeVLMClient
     from circuitvision_tpu.eval.metrics import (
         map50,
         mask_accuracy,
@@ -57,13 +63,15 @@ def main() -> int:
 
     yolo_vars = load_variables(args.yolo_checkpoint) if args.yolo_checkpoint else None
     sam_vars = load_variables(args.sam2_checkpoint) if args.sam2_checkpoint else None
+    use_sam2 = sam_vars is not None and not args.classical_mask
     analyzer = CircuitAnalyzerTPU(
         config=PipelineConfig(
-            detector=DetectorConfig(scale=args.scale), use_sam2=sam_vars is not None
+            detector=DetectorConfig(scale=args.scale, img_size=args.det_size),
+            use_sam2=use_sam2,
         ),
         yolo_variables=yolo_vars,
         sam2_variables=sam_vars,
-        use_sam2=sam_vars is not None,
+        use_sam2=use_sam2,
     )
 
     image_paths = sorted(
@@ -73,8 +81,7 @@ def main() -> int:
     if args.limit:
         image_paths = image_paths[: args.limit]
     if not image_paths:
-        print(f"no images under {args.data}/images")
-        return 1
+        raise FileNotFoundError(f"no images under {args.data}/images")
 
     pred_boxes, gt_boxes = [], []
     pred_netlists, ref_netlists = [], []
@@ -83,12 +90,34 @@ def main() -> int:
     for path in image_paths:
         name = os.path.splitext(os.path.basename(path))[0]
         image = load_image(path)
-        result = analyzer.analyze(image)
 
+        gt = None
         gt_box_path = os.path.join(args.data, "boxes", f"{name}.json")
         if os.path.exists(gt_box_path):
             with open(gt_box_path) as f:
                 gt = [BBox.from_dict(d) for d in json.load(f)]
+
+        if args.oracle_boxes:
+            if gt is None:
+                raise FileNotFoundError(f"--oracle-boxes needs boxes/{name}.json")
+            analyzer.bboxes = lambda img, gt=gt: copy.deepcopy(gt)
+
+        label_path = os.path.join(args.data, "labels", f"{name}.json")
+        if os.path.exists(label_path):
+            with open(label_path) as f:
+                canned = json.load(f)
+            analyzer.vlm_client = FakeVLMClient(
+                labels=canned.get("labels"),
+                directions={
+                    k: tuple(v) for k, v in canned.get("directions", {}).items()
+                },
+            )
+
+        result = analyzer.analyze(image)
+        if os.path.exists(label_path):
+            result = analyzer.generate_final_netlist(result)
+
+        if gt is not None and not args.oracle_boxes:
             pred_boxes.append(result.bboxes_orig_nms)
             gt_boxes.append(gt)
 
@@ -103,11 +132,23 @@ def main() -> int:
             from PIL import Image
 
             gt_mask = np.asarray(Image.open(gt_mask_path).convert("L"))
-            ious.append(mask_iou(result.sam_mask, gt_mask))
-            accs.append(mask_accuracy(result.sam_mask, gt_mask))
+            pred_mask = result.sam_mask
+            if pred_mask.shape != gt_mask.shape:
+                # The pipeline segments the CROPPED image; map the mask
+                # back into full-image coordinates before comparing.
+                info = result.crop_info
+                full = np.zeros(gt_mask.shape, np.uint8)
+                if info is not None and info.applied and info.window:
+                    x0, y0, x1, y1 = info.window
+                    full[y0:y1, x0:x1] = pred_mask
+                pred_mask = full
+            ious.append(mask_iou(pred_mask, gt_mask))
+            accs.append(mask_accuracy(pred_mask, gt_mask))
 
-        print(f"{name}: {len(result.bboxes_orig_nms)} detections, "
-              f"{len(result.nodes)} nodes")
+        print(
+            f"{name}: {len(result.bboxes_orig_nms)} detections, "
+            f"{len(result.nodes)} nodes"
+        )
 
     report = {"images": len(image_paths)}
     if gt_boxes:
@@ -118,7 +159,29 @@ def main() -> int:
             "pixel_accuracy": float(np.mean(accs)),
         }
     if ref_netlists:
-        report["netlist_exact_match"] = netlist_exact_match(pred_netlists, ref_netlists)
+        report["netlist_exact_match"] = netlist_exact_match(
+            pred_netlists, ref_netlists
+        )
+    return report
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data", required=True)
+    parser.add_argument("--yolo-checkpoint")
+    parser.add_argument("--sam2-checkpoint")
+    parser.add_argument("--scale", default="l", choices=list("nsmlx"))
+    parser.add_argument("--det-size", type=int, default=640)
+    parser.add_argument("--limit", type=int, default=0)
+    parser.add_argument("--oracle-boxes", action="store_true")
+    parser.add_argument("--classical-mask", action="store_true")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    report = run_eval(args)
     print(json.dumps(report, indent=2))
     return 0
 
