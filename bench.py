@@ -1,14 +1,25 @@
-"""End-to-end device-path benchmark.
+"""End-to-end benchmark: device path + full analyze_many pipeline.
 
-Measures the full per-image device compute of the pipeline — YOLOv11-L
-detect (640², decode + NMS on device) plus SAM 2.1 Hiera-L segmentation
-(1024²) — in bfloat16 with random weights, batched, on every available
-chip of the default backend (batch sharded over a data mesh when more
-than one device is present).
+Measures two things with random weights (no checkpoints in this env):
+
+1. device path — the per-image device compute of the pipeline:
+   YOLOv11-L detect (640², decode + NMS on device) plus SAM 2.1 Hiera-L
+   segmentation (1024²) in bfloat16, batched, on every available chip
+   (batch sharded over a data mesh when more than one device is present).
+
+2. end-to-end — `analyze_batch` over synthetic schematics including ALL
+   host stages (confidence-NMS, cluster crop, crop-SAM2 mask fetch,
+   terminal reclassification, direction enrichment, node extraction,
+   netlist + enumeration). Detections are oracle-injected AFTER the real
+   device detect runs, and the fetched mask is replaced with the GT wire
+   raster after its real bit-packed fetch — device + transfer costs are
+   fully counted while the host topology works on representative circuit
+   masks instead of random-weight noise (random SAM2 logits would give
+   the host stages unrepresentatively pathological inputs).
 
 Prints ONE JSON line:
   {"metric": ..., "value": images/sec, "unit": "images/sec",
-   "vs_baseline": value / 6.25}
+   "vs_baseline": value / 6.25, "end_to_end": {...same keys...}}
 
 Baseline normalization: the build target is ≥50 images/s on a v5e-8
 (BASELINE.json north_star) → 6.25 images/s per chip; vs_baseline ≥ 1.0 on
@@ -65,11 +76,74 @@ def build_models(smoke: bool):
     return det_cfg, sam_cfg, yolo, yolo_vars, sam, sam_vars
 
 
+def bench_end_to_end(det_cfg, sam_cfg, yolo_vars, sam_vars, per_dev_batch: int):
+    """analyze_batch img/s over synthetic schematics incl. host stages."""
+    import copy
+
+    from circuitvision_tpu.core.config import MeshConfig, PipelineConfig
+    from circuitvision_tpu.enrich.client import FakeVLMClient
+    from circuitvision_tpu.eval.synth import make_circuits
+    from circuitvision_tpu.pipeline.analyzer import CircuitAnalyzerTPU
+    from circuitvision_tpu.pipeline.batch import BatchedPipeline
+
+    circuits = make_circuits()
+    gt_by_shape = {c.image.shape: c for c in circuits}
+
+    analyzer = CircuitAnalyzerTPU(
+        config=PipelineConfig(
+            detector=det_cfg,
+            sam2=sam_cfg,
+            mesh=MeshConfig(batch_per_device=per_dev_batch),
+            use_sam2=True,
+        ),
+        yolo_variables=yolo_vars,
+        sam2_variables=sam_vars,
+        use_sam2=True,
+        vlm_client=FakeVLMClient(
+            directions={"voltage.dc": ("UP", "SIGN"), "voltage.ac": ("UP", "SIGN")}
+        ),
+    )
+
+    class OraclePipeline(BatchedPipeline):
+        """Real device work + oracle detections/masks (see module doc)."""
+
+        def _detect_bboxes(self, chunk):
+            super()._detect_bboxes(chunk)  # full device detect + fetch cost
+            return [copy.deepcopy(gt_by_shape[img.shape].boxes) for img in chunk]
+
+        def _device_phase(self, chunk):
+            staged = super()._device_phase(chunk)  # incl. real mask fetch
+            for st in staged:
+                gt = gt_by_shape[st.image.shape]
+                mask = gt.wire_mask
+                info = st.crop_info
+                if info is not None and info.applied and info.window:
+                    x0, y0, x1, y1 = info.window
+                    mask = mask[y0:y1, x0:x1]
+                st.mask = mask
+            return staged
+
+    pipeline = OraclePipeline(analyzer)
+    images = [c.image for c in circuits]
+    n_images = pipeline.batch_size * 6
+    workload = [images[i % len(images)] for i in range(n_images)]
+
+    pipeline.analyze_many(workload[: pipeline.batch_size])  # warmup/compile
+    t0 = time.perf_counter()
+    results = pipeline.analyze_many(workload)
+    dt = time.perf_counter() - t0
+    assert all(r.netlist_text is not None for r in results)
+    return len(workload) / dt
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=4, help="per-device batch")
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--smoke", action="store_true", help="tiny models for CI")
+    parser.add_argument(
+        "--skip-e2e", action="store_true", help="device-path metric only"
+    )
     args = parser.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -153,6 +227,19 @@ def main():
         "unit": "images/sec",
         "vs_baseline": round(imgs_per_sec / (per_chip_target * n_dev), 3),
     }
+
+    if not args.skip_e2e:
+        e2e = bench_end_to_end(det_cfg, sam_cfg, yolo_vars, sam_vars, args.batch)
+        result["end_to_end"] = {
+            "metric": (
+                "end-to-end analyze_batch images/sec (full pipeline incl. host "
+                "crop/reclassify/enrich/topology/netlist; oracle detections+masks, "
+                "device+transfer costs fully counted)"
+            ),
+            "value": round(e2e, 3),
+            "unit": "images/sec",
+            "vs_baseline": round(e2e / (per_chip_target * n_dev), 3),
+        }
     print(json.dumps(result))
 
 
