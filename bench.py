@@ -121,6 +121,7 @@ def bench_end_to_end(det_cfg, sam_cfg, yolo_vars, sam_vars, per_dev_batch: int):
                     x0, y0, x1, y1 = info.window
                     mask = mask[y0:y1, x0:x1]
                 st.mask = mask
+                st.mask_dev = None  # topology must see the GT mask
             return staged
 
     pipeline = OraclePipeline(analyzer)

@@ -21,6 +21,58 @@ import numpy as np
 _LORA_A = re.compile(r"^(.*)\.lora_A\.(?:default\.)?weight$")
 _LORA_B = re.compile(r"^(.*)\.lora_B\.(?:default\.)?weight$")
 
+#: The 36 LoRA target modules of the reference fine-tune
+#: (src/circuit_analyzer.py:156-199, base_parts + added_parts). A real
+#: fine-tuned checkpoint carries `<target>.base_layer.weight` +
+#: `<target>.lora_A/lora_B` entries for exactly these.
+REFERENCE_LORA_TARGETS = tuple(
+    [
+        f"sam_mask_decoder.transformer.layers.{i}.{attn}.{proj}"
+        for i in (0, 1)
+        for attn in ("self_attn", "cross_attn_token_to_image")
+        for proj in ("k_proj", "q_proj", "v_proj", "out_proj")
+    ]
+    + [
+        f"sam_mask_decoder.transformer.layers.{i}.mlp.layers.{j}"
+        for i in (0, 1)
+        for j in (0, 1)
+    ]
+    + [
+        "sam_mask_decoder.iou_prediction_head.layers.2",
+        "sam_mask_decoder.conv_s0",
+        "sam_mask_decoder.conv_s1",
+        "image_encoder.neck.convs.2.conv",
+        "image_encoder.neck.convs.3.conv",
+        "image_encoder.trunk.blocks.44.attn.qkv",
+        "image_encoder.trunk.blocks.44.mlp.layers.0",
+        "image_encoder.trunk.blocks.44.proj",
+        "image_encoder.trunk.blocks.47.attn.qkv",
+        "image_encoder.trunk.blocks.47.mlp.layers.0",
+    ]
+    + [
+        f"sam_mask_decoder.transformer.layers.{i}.cross_attn_image_to_token.{proj}"
+        for i in (0, 1)
+        for proj in ("q_proj", "k_proj", "v_proj")
+    ]
+)
+
+#: Checkpoint entries the image pipeline legitimately never consumes: the
+#: SAM2 video-memory machinery (never run by the reference's image path,
+#: src/sam2_infer.py builds image-only inference) and torch bookkeeping.
+KNOWN_UNUSED_PREFIXES = (
+    "memory_attention.",
+    "memory_encoder.",
+    "mask_downsample.",
+    "obj_ptr_proj.",
+    "obj_ptr_tpos_proj.",
+    "no_mem_embed",
+    "no_mem_pos_enc",
+    "no_obj_ptr",
+    "maskmem_tpos_enc",
+    "no_obj_embed_spatial",
+)
+KNOWN_UNUSED_SUFFIXES = (".num_batches_tracked",)
+
 
 def normalize_and_fold(
     torch_state: Mapping[str, np.ndarray],
@@ -49,16 +101,20 @@ def normalize_and_fold(
         else:
             base[k.replace(".base_layer.", ".")] = v
 
+    dangling = set(lora_a) ^ set(lora_b)
+    if dangling:
+        raise KeyError(
+            f"LoRA A/B pairs incomplete for {sorted(dangling)[:8]} "
+            f"({len(dangling)} modules)"
+        )
     for mod, a in lora_a.items():
-        b = lora_b.get(mod)
-        if b is None:
-            continue
+        b = lora_b[mod]
         r = a.shape[0]
         scale = lora_alpha / r
         wkey = f"{mod}.weight"
         w = base.get(wkey)
         if w is None:
-            continue
+            raise KeyError(f"LoRA target {mod} has no base weight {wkey}")
         if w.ndim == 2:  # Linear (out, in)
             delta = scale * (b @ a)
         elif w.ndim == 4:  # Conv2d (out, in, kh, kw)
@@ -66,7 +122,7 @@ def normalize_and_fold(
             b2 = b.reshape(w.shape[0], r)
             delta = scale * np.einsum("or,rikl->oikl", b2, a4)
         else:
-            continue
+            raise ValueError(f"LoRA target {mod} has unsupported ndim {w.ndim}")
         base[wkey] = w + delta.astype(w.dtype)
     return base
 
@@ -156,10 +212,52 @@ def _to_flax(arr: np.ndarray, kind: str) -> np.ndarray:
     return arr
 
 
+def _from_flax(arr: np.ndarray, kind: str) -> np.ndarray:
+    """Inverse of _to_flax (torch-side layout from a flax leaf)."""
+    arr = np.asarray(arr)
+    if kind == "conv":
+        if arr.ndim == 4:
+            return np.transpose(arr, (3, 2, 0, 1))  # HWIO → OIHW
+        return arr.T
+    if kind == "convT":
+        return np.transpose(arr[::-1, ::-1], (2, 3, 0, 1)).copy()
+    if kind == "nchw":
+        return np.transpose(arr, (0, 3, 1, 2))
+    return arr
+
+
+def export_torch_state(flax_variables: dict) -> dict[str, np.ndarray]:
+    """Flax variable tree → torch-named state dict (exact inverse of
+    convert_state_dict's name map and layout transposes).
+
+    Product use: export a TPU fine-tune back to the reference's checkpoint
+    naming; test use: synthesize a COMPLETE reference-shaped checkpoint to
+    prove conversion round-trips with no silent drops either direction.
+    """
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(flax_variables)[0]
+    out: dict[str, np.ndarray] = {}
+    for path, leaf_val in flat:
+        keys = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+        tkey, kind = _flax_path_to_torch_key(tuple(keys[1:]))
+        if tkey in out:
+            raise KeyError(f"Name map is not injective: {tkey} from {keys}")
+        out[tkey] = _from_flax(np.asarray(leaf_val, np.float32), kind)
+    return out
+
+
 def convert_state_dict(torch_state: Mapping[str, np.ndarray], flax_variables: dict,
-                       lora_alpha: float = 16.0) -> dict:
+                       lora_alpha: float = 16.0, unconsumed: str = "error") -> dict:
     """Fill the SAM2ImageSegmenter variable tree from a (possibly PEFT)
-    torch state dict. Raises KeyError listing any unmatched weights."""
+    torch state dict.
+
+    Raises KeyError listing any Flax parameter with no source weight, and
+    (unconsumed="error", the default) any source weight that no Flax
+    parameter consumed — excluding the documented video-memory machinery
+    (KNOWN_UNUSED_PREFIXES) the image pipeline never runs. Pass
+    unconsumed="ignore" to skip the reverse check.
+    """
     import jax
 
     state = normalize_and_fold(torch_state, lora_alpha=lora_alpha)
@@ -176,12 +274,14 @@ def convert_state_dict(torch_state: Mapping[str, np.ndarray], flax_variables: di
         node[keys[-1]] = value
 
     missing = []
+    used: set[str] = set()
     for path, leaf_val in flat:
         keys = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
         tkey, kind = _flax_path_to_torch_key(tuple(keys[1:]))
         if tkey not in state:
             missing.append(tkey)
             continue
+        used.add(tkey)
         arr = _to_flax(state[tkey], kind)
         if arr.shape != tuple(leaf_val.shape) and arr.size == np.prod(leaf_val.shape):
             arr = arr.reshape(leaf_val.shape)
@@ -192,6 +292,19 @@ def convert_state_dict(torch_state: Mapping[str, np.ndarray], flax_variables: di
         raise KeyError(
             f"Missing {len(missing)} weights, e.g. {sorted(missing)[:8]}"
         )
+    if unconsumed == "error":
+        extra = [
+            k
+            for k in state
+            if k not in used
+            and not k.startswith(KNOWN_UNUSED_PREFIXES)
+            and not k.endswith(KNOWN_UNUSED_SUFFIXES)
+        ]
+        if extra:
+            raise KeyError(
+                f"{len(extra)} checkpoint weights were silently dropped, "
+                f"e.g. {sorted(extra)[:8]}"
+            )
     return out
 
 

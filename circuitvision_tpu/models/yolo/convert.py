@@ -94,6 +94,13 @@ def _flax_path_to_torch_key(path: tuple[str, ...]) -> str:
     raise KeyError(f"Unmapped leaf {path}")
 
 
+#: Checkpoint entries with no Flax counterpart by design: the frozen DFL
+#: arange conv (decode.py computes the expectation directly) and torch
+#: BatchNorm bookkeeping.
+KNOWN_UNUSED_KEYS = frozenset({"model.23.dfl.conv.weight"})
+KNOWN_UNUSED_SUFFIXES = (".num_batches_tracked",)
+
+
 def _to_flax_array(torch_array: np.ndarray, leaf: str) -> np.ndarray:
     a = np.asarray(torch_array)
     if leaf == "kernel" and a.ndim == 4:  # OIHW → HWIO
@@ -103,15 +110,44 @@ def _to_flax_array(torch_array: np.ndarray, leaf: str) -> np.ndarray:
     return a
 
 
+def _from_flax_array(arr: np.ndarray, leaf: str) -> np.ndarray:
+    """Inverse of _to_flax_array (torch layout from a flax leaf)."""
+    a = np.asarray(arr)
+    if leaf == "kernel" and a.ndim == 4:  # HWIO → OIHW
+        return np.transpose(a, (3, 2, 0, 1))
+    if leaf == "kernel" and a.ndim == 2:
+        return a.T
+    return a
+
+
+def export_torch_state(flax_variables: dict) -> dict[str, np.ndarray]:
+    """Flax YOLOv11 variables → ultralytics-named state dict (exact
+    inverse of convert_state_dict's name map and layout transposes)."""
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(flax_variables)[0]
+    out: dict[str, np.ndarray] = {}
+    for path, leaf_val in flat:
+        names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        tkey = _flax_path_to_torch_key(tuple(names[1:]))
+        if tkey in out:
+            raise KeyError(f"Name map is not injective: {tkey} from {names}")
+        out[tkey] = _from_flax_array(np.asarray(leaf_val, np.float32), names[-1])
+    return out
+
+
 def convert_state_dict(
-    torch_state: Mapping[str, "np.ndarray"], flax_variables: dict
+    torch_state: Mapping[str, "np.ndarray"], flax_variables: dict,
+    unconsumed: str = "error",
 ) -> dict:
     """Fill a flax variable tree (from model.init) with torch weights.
 
     torch_state: flat mapping of torch parameter names → arrays (numpy or
     torch tensors). Keys may optionally carry a 'model.model.' prefix
     (ultralytics nests the detection model once).
-    Returns a new variable dict; raises KeyError listing missing weights.
+    Returns a new variable dict; raises KeyError listing missing weights,
+    and (unconsumed="error", the default) any checkpoint weight no Flax
+    parameter consumed beyond the documented KNOWN_UNUSED set.
     """
     import jax
 
@@ -137,6 +173,7 @@ def convert_state_dict(
     import flax
 
     mutable = flax.core.unfreeze(new_vars) if hasattr(flax.core, "unfreeze") else new_vars
+    used: set[str] = set()
     for path, leaf_val in flat:
         keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
         collection, mod_path = keys[0], tuple(keys[1:])
@@ -144,6 +181,7 @@ def convert_state_dict(
         if torch_key not in norm_state:
             missing.append(torch_key)
             continue
+        used.add(torch_key)
         arr = _to_flax_array(norm_state[torch_key], mod_path[-1])
         if arr.shape != leaf_val.shape:
             raise ValueError(
@@ -152,6 +190,19 @@ def convert_state_dict(
         set_in(mutable, keys, arr.astype(np.float32))
     if missing:
         raise KeyError(f"Missing {len(missing)} weights in checkpoint, e.g. {missing[:8]}")
+    if unconsumed == "error":
+        extra = [
+            k
+            for k in norm_state
+            if k not in used
+            and k not in KNOWN_UNUSED_KEYS
+            and not k.endswith(KNOWN_UNUSED_SUFFIXES)
+        ]
+        if extra:
+            raise KeyError(
+                f"{len(extra)} checkpoint weights were silently dropped, "
+                f"e.g. {sorted(extra)[:8]}"
+            )
     del out
     return mutable
 

@@ -82,6 +82,10 @@ class _Staged:
     bboxes: list
     crop_info: object
     mask: Optional[np.ndarray]  # (hc, wc) uint8 0/255 or None
+    #: device-resident copy of `mask` (same values) — feeds the batched
+    #: topology stage without a host→device re-upload. None when the mask
+    #: came from the host (classical fallback) or was overridden.
+    mask_dev: Optional[object] = None
 
 
 class BatchedPipeline:
@@ -158,12 +162,14 @@ class BatchedPipeline:
 
     def _mask_program(self, h: int, w: int):
         """Jitted per-crop-shape finalize: S² logits → bilinear upsample to
-        (h, w) → threshold → bit-pack rows (np.unpackbits order).
+        (h, w) → threshold → (bit-packed rows, device mask).
 
         The bilinear-then-threshold order matches `segment_with_sam2`
         (analyzer.py) and the reference's SAM2Transforms postprocessing
-        (src/sam2_infer.py:117-121); packing is lossless and cuts the
-        only large device→host fetch in the loop by 8×.
+        (src/sam2_infer.py:117-121); packing (np.unpackbits order) is
+        lossless and cuts the only large device→host fetch in the loop by
+        8×. The unpacked 0/255 mask is returned as a second output that
+        stays device-resident for the batched topology stage.
         """
         fn = self._mask_fns.get((h, w))
         if fn is None:
@@ -173,10 +179,11 @@ class BatchedPipeline:
             def finalize(logits):
                 full = jax.image.resize(logits, (h, w), method="linear")
                 m = (full > thr).astype(jnp.uint32)
-                m = jnp.pad(m, ((0, 0), (0, w8 * 8 - w)))
-                bits = m.reshape(h, w8, 8)
+                padded = jnp.pad(m, ((0, 0), (0, w8 * 8 - w)))
+                bits = padded.reshape(h, w8, 8)
                 weights = jnp.asarray(_BIT_WEIGHTS, jnp.uint32)
-                return (bits * weights).sum(-1).astype(jnp.uint8)
+                packed = (bits * weights).sum(-1).astype(jnp.uint8)
+                return packed, (m * 255).astype(jnp.uint8)
 
             fn = jax.jit(finalize)
             self._mask_fns[(h, w)] = fn
@@ -234,12 +241,15 @@ class BatchedPipeline:
         rounded BBoxes → dict-level confidence NMS.
         """
         det = self.cfg.detector
+        # One device_put for all uploads: the per-image transfers overlap
+        # instead of paying a serial round trip each.
+        imgs_dev = jax.device_put(list(chunk))
         canvases = []
         meta = []  # (scale, pad_x, pad_y, w, h)
-        for img in chunk:
+        for img, img_dev in zip(chunk, imgs_dev):
             h, w = img.shape[:2]
             scale = min(det.img_size / h, det.img_size / w)
-            canvas, _s, _p = letterbox(jnp.asarray(img), det.img_size)
+            canvas, _s, _p = letterbox(img_dev, det.img_size)
             canvases.append(canvas / 255.0)
             pad_y = (det.img_size - int(round(h * scale))) // 2
             pad_x = (det.img_size - int(round(w * scale))) // 2
@@ -309,23 +319,30 @@ class BatchedPipeline:
                 logger.exception("batched SAM2 segmentation failed")
                 logits = None
 
-        for i, st in enumerate(staged):
-            hc, wc = st.crop.shape[:2]
-            if logits is not None:
-                packed = np.asarray(self._mask_program(hc, wc)(logits[i]))
+        if logits is not None:
+            # Dispatch every per-crop finalize program first, then fetch
+            # all packed masks in ONE device_get — sequential fetches pay
+            # a full round trip each on remote-attached chips.
+            packed_dev = []
+            for i, st in enumerate(staged):
+                hc, wc = st.crop.shape[:2]
+                packed, mask_dev = self._mask_program(hc, wc)(logits[i])
+                packed_dev.append(packed)
+                st.mask_dev = mask_dev
+            for st, packed in zip(staged, jax.device_get(packed_dev)):
+                wc = st.crop.shape[1]
                 st.mask = (
                     np.unpackbits(packed, axis=1)[:, :wc].astype(np.uint8) * 255
                 )
-            elif self.analyzer.classical_fallback:
+        elif self.analyzer.classical_fallback:
+            for st in staged:
                 st.mask = np.asarray(segment_classical(st.crop, self.cfg.topology))
         return staged
 
-    def _host_phase(self, st: _Staged) -> AnalysisResult:
-        """Stages [3]-[6] for one image: reclassify → enrich → nodes →
-        netlist (+enumeration). Same degradation ladders and logging as
-        analyze() — no silent failures."""
+    def _pre_topology(self, st: _Staged) -> AnalysisResult:
+        """Stages [3]-[4] for one image: reclassify → enrich. Same
+        degradation ladders and logging as analyze() — no silent failures."""
         from ..enrich.directions import enrich_directions
-        from ..topology.enumerate_components import enumerate_components
 
         cfg = self.cfg
         result = AnalysisResult(
@@ -348,17 +365,54 @@ class BatchedPipeline:
             )
         except Exception:
             logger.exception("direction enrichment failed; continuing")
+        return result
 
-        if result.sam_mask is not None:
-            try:
-                extraction = extract_nodes(
-                    result.sam_mask, result.bboxes, cfg.topology, fetch_viz=False
-                )
-                result.nodes = extraction.nodes
-            except Exception:
-                logger.exception("node analysis failed; continuing")
-        else:
-            logger.warning("node analysis skipped: no wire mask available")
+    def _extract_nodes_chunk(
+        self, staged: Sequence[_Staged], results: Sequence[AnalysisResult]
+    ) -> None:
+        """Stage [5] for a whole chunk: ONE batched device program + fetch
+        for every image with a wire mask (extract_nodes_batched); masks
+        produced by the SAM2 finalize program are consumed device-resident
+        (no re-upload). Falls back to per-image extraction on error."""
+        from ..topology.nodes import extract_nodes_batched
+
+        idx = [i for i, r in enumerate(results) if r.sam_mask is not None]
+        for i, r in enumerate(results):
+            if r.sam_mask is None:
+                logger.warning("node analysis skipped: no wire mask available")
+        if not idx:
+            return
+        try:
+            extractions = extract_nodes_batched(
+                [
+                    staged[i].mask_dev
+                    if staged[i].mask_dev is not None
+                    else results[i].sam_mask
+                    for i in idx
+                ],
+                [results[i].bboxes for i in idx],
+                self.cfg.topology,
+                pad_to=self.batch_size,
+            )
+            for i, ex in zip(idx, extractions):
+                results[i].nodes = ex.nodes
+        except Exception:
+            logger.exception("batched node analysis failed; per-image fallback")
+            for i in idx:
+                try:
+                    ex = extract_nodes(
+                        results[i].sam_mask,
+                        results[i].bboxes,
+                        self.cfg.topology,
+                        fetch_viz=False,
+                    )
+                    results[i].nodes = ex.nodes
+                except Exception:
+                    logger.exception("node analysis failed; continuing")
+
+    def _post_topology(self, st: _Staged, result: AnalysisResult) -> AnalysisResult:
+        """Stage [6] for one image: netlist + enumeration + stats."""
+        from ..topology.enumerate_components import enumerate_components
 
         if result.nodes:
             result.netlist = generate_netlist_from_nodes(result.nodes)
@@ -422,7 +476,9 @@ class BatchedPipeline:
             if isinstance(item, Exception):
                 t.join()
                 raise item
-            for st in item:
-                results.append(self._host_phase(st))
+            chunk_results = [self._pre_topology(st) for st in item]
+            self._extract_nodes_chunk(item, chunk_results)
+            for st, r in zip(item, chunk_results):
+                results.append(self._post_topology(st, r))
         t.join()
         return results

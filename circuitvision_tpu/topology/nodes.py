@@ -114,6 +114,63 @@ def _prepare_raster(
     return np.asarray(enhanced_u8).astype(np.uint8), fg, new_w / w, new_h / h
 
 
+def _enhance_chain(resized: jax.Array, cfg: TopologyConfig) -> jax.Array:
+    """resize output → enhance_lines → uint8 quantize → auto-invert.
+
+    Shared by the single-image fused program and the batched per-image
+    stage so both paths run bit-identical raster semantics.
+    """
+    default_params = (
+        cfg.use_fused_morphology
+        and cfg.blur_kernel == 5
+        and cfg.blur_sigma == 1.0
+        and cfg.morph_kernel == 3
+        and cfg.morph_iterations == 2
+    )
+    if default_params and jax.default_backend() not in ("cpu",):
+        from ..ops.pallas.fused_morphology import enhance_lines_fused
+
+        enhanced = enhance_lines_fused(resized)
+    else:
+        enhanced = jnp.round(
+            enhance_lines(
+                resized,
+                blur_ksize=cfg.blur_kernel,
+                blur_sigma=cfg.blur_sigma,
+                morph_ksize=cfg.morph_kernel,
+                iterations=cfg.morph_iterations,
+            )
+        )
+    # Quantize to uint8 semantics (cv2 operates on rounded uint8 — the
+    # faint Gaussian halo below 0.5 must NOT count as foreground).
+    enhanced_u8 = jnp.clip(enhanced, 0, 255)
+    # Auto-invert when mostly white (reference get_contours :398).
+    mean = jnp.mean(enhanced_u8)
+    return jnp.where(mean > 127.0, 255.0 - enhanced_u8, enhanced_u8)
+
+
+def _label_touch_stage(fg, wid_f32, cfg, comp_boxes, comp_thr, comp_valid):
+    """CC labeling → stats → touch matrix on a binarized raster.
+
+    `wid_f32` is the ACTUAL raster width (the raster may carry background
+    zero-padding to a bucketed width; padding changes no label, stat, or
+    touch result, but relative areas must use the true extent).
+    """
+    new_h = fg.shape[0]
+    labels = label_components(fg, max_iters=256)
+    stats = label_stats(labels, max_labels=cfg.max_labels)
+    rel_area = stats.contour_area / (float(new_h) * wid_f32)
+    keep = stats.valid & (rel_area > cfg.contour_area_threshold)
+    bnd = boundary_mask(fg)
+    # cv2.boundingRect is max-exclusive; widen label boxes by 1 to
+    # match the reference broad phase (:1391-1400).
+    broad = stats.bbox + jnp.asarray([0.0, 0.0, 1.0, 1.0], jnp.float32)
+    touch = touch_matrix(
+        labels, bnd, stats.labels, broad, keep, comp_boxes, comp_thr, comp_valid
+    )
+    return labels, stats, rel_area, keep, touch
+
+
 @functools.lru_cache(maxsize=32)
 def _topology_program(cfg: TopologyConfig, in_h: int, in_w: int, max_comp: int):
     """One jit program for the whole raster topology stage.
@@ -128,42 +185,10 @@ def _topology_program(cfg: TopologyConfig, in_h: int, in_w: int, max_comp: int):
 
     def program(mask_f32, comp_boxes, comp_thr, comp_valid):
         resized = resize_bilinear(mask_f32, (new_h, new_w))
-        default_params = (
-            cfg.use_fused_morphology
-            and cfg.blur_kernel == 5
-            and cfg.blur_sigma == 1.0
-            and cfg.morph_kernel == 3
-            and cfg.morph_iterations == 2
-        )
-        if default_params and jax.default_backend() not in ("cpu",):
-            from ..ops.pallas.fused_morphology import enhance_lines_fused
-
-            enhanced = enhance_lines_fused(resized)
-        else:
-            enhanced = jnp.round(
-                enhance_lines(
-                    resized,
-                    blur_ksize=cfg.blur_kernel,
-                    blur_sigma=cfg.blur_sigma,
-                    morph_ksize=cfg.morph_kernel,
-                    iterations=cfg.morph_iterations,
-                )
-            )
-        enhanced_u8 = jnp.clip(enhanced, 0, 255)
-        mean = jnp.mean(enhanced_u8)
-        enhanced_u8 = jnp.where(mean > 127.0, 255.0 - enhanced_u8, enhanced_u8)
+        enhanced_u8 = _enhance_chain(resized, cfg)
         fg = enhanced_u8 > 0
-
-        labels = label_components(fg, max_iters=256)
-        stats = label_stats(labels, max_labels=cfg.max_labels)
-        rel_area = stats.contour_area / float(new_h * new_w)
-        keep = stats.valid & (rel_area > cfg.contour_area_threshold)
-        bnd = boundary_mask(fg)
-        # cv2.boundingRect is max-exclusive; widen label boxes by 1 to
-        # match the reference broad phase (:1391-1400).
-        broad = stats.bbox + jnp.asarray([0.0, 0.0, 1.0, 1.0], jnp.float32)
-        touch = touch_matrix(
-            labels, bnd, stats.labels, broad, keep, comp_boxes, comp_thr, comp_valid
+        labels, stats, rel_area, keep, touch = _label_touch_stage(
+            fg, jnp.float32(new_w), cfg, comp_boxes, comp_thr, comp_valid
         )
         return enhanced_u8, labels, stats, rel_area, keep, touch
 
@@ -204,18 +229,9 @@ def extract_nodes(
     resized_bboxes = [b.scaled(sx, sy) for b in bboxes]
 
     # Electrical components only, padded to a static bucket.
-    comp_indices = [
-        i for i, b in enumerate(resized_bboxes) if b.class_name not in taxonomy.NON_COMPONENTS
-    ]
-    bucket = _comp_bucket(max(1, len(comp_indices)))
-    comp_boxes = np.zeros((bucket, 4), np.float32)
-    comp_thr = np.zeros(bucket, np.float32)
-    comp_valid = np.zeros(bucket, bool)
-    for col, i in enumerate(comp_indices):
-        b = resized_bboxes[i]
-        comp_boxes[col] = (b.xmin, b.ymin, b.xmax, b.ymax)
-        comp_thr[col] = taxonomy.pixel_threshold_for_class(b.class_name, cfg)
-        comp_valid[col] = True
+    comp_indices, comp_boxes, comp_thr, comp_valid = _component_arrays(
+        resized_bboxes, cfg
+    )
 
     # 2-5. One device dispatch for resize→enhance→CC→stats→touch.
     enhanced_dev, labels_dev, stats, rel_area_dev, keep_dev, touch_dev = program(
@@ -243,6 +259,20 @@ def extract_nodes(
     if not comp_indices or not keep.any():
         return NodeExtraction([], emptied, enhanced_u8, labels, resized_bboxes)
 
+    nodes, raw_count = _assemble_nodes(
+        resized_bboxes, comp_indices, uniq, centroids, rel_area, keep, touch
+    )
+    return NodeExtraction(
+        nodes, emptied, enhanced_u8, labels, resized_bboxes,
+        raw_node_count=raw_count,
+    )
+
+
+def _assemble_nodes(
+    resized_bboxes, comp_indices, uniq, centroids, rel_area, keep, touch
+) -> tuple[list[Node], int]:
+    """Host bookkeeping from fetched device stats: per-label component
+    lists → ground selection → renumbering (reference :1431-1582)."""
     # 6. Build per-label component lists in bbox-list order with UID dedupe
     # (reference :1431-1443).
     kept_label_rows = [k for k in range(len(uniq)) if keep[k]]
@@ -270,20 +300,13 @@ def extract_nodes(
 
     valid_nodes = [r for r in node_records if r["components"]]
     if not valid_nodes:
-        return NodeExtraction(
-            [], emptied, enhanced_u8, labels, resized_bboxes,
-            raw_node_count=len(node_records),
-        )
+        return [], len(node_records)
 
     # 7. Ground selection (reference :1470-1545).
     ground_old_id = _select_ground(valid_nodes)
 
     # 8. Renumbering (reference :1547-1582).
-    nodes = _renumber(valid_nodes, ground_old_id)
-    return NodeExtraction(
-        nodes, emptied, enhanced_u8, labels, resized_bboxes,
-        raw_node_count=len(node_records),
-    )
+    return _renumber(valid_nodes, ground_old_id), len(node_records)
 
 
 def _select_ground(valid_nodes: list[dict]) -> Optional[int]:
@@ -342,3 +365,176 @@ def _renumber(valid_nodes: list[dict], ground_old_id: Optional[int]) -> list[Nod
                 )
                 next_id += 1
     return nodes
+
+
+def _component_arrays(resized_bboxes, cfg: TopologyConfig, bucket: Optional[int] = None):
+    """Electrical-component boxes padded to a static bucket (jit inputs)."""
+    comp_indices = [
+        i
+        for i, b in enumerate(resized_bboxes)
+        if b.class_name not in taxonomy.NON_COMPONENTS
+    ]
+    bucket = bucket or _comp_bucket(max(1, len(comp_indices)))
+    comp_boxes = np.zeros((bucket, 4), np.float32)
+    comp_thr = np.zeros(bucket, np.float32)
+    comp_valid = np.zeros(bucket, bool)
+    for col, i in enumerate(comp_indices):
+        b = resized_bboxes[i]
+        comp_boxes[col] = (b.xmin, b.ymin, b.xmax, b.ymax)
+        comp_thr[col] = taxonomy.pixel_threshold_for_class(b.class_name, cfg)
+        comp_valid[col] = True
+    return comp_indices, comp_boxes, comp_thr, comp_valid
+
+
+def _subtract_arrays(bboxes, h: int, w: int, bucket: Optional[int] = None):
+    """Boxes to zero out of the mask (everything not mask-preserved),
+    pre-clamped to the raster exactly like subtract_component_boxes."""
+    sub = [
+        (max(0, int(b.xmin)), max(0, int(b.ymin)), min(w, int(b.xmax)), min(h, int(b.ymax)))
+        for b in bboxes
+        if b.class_name not in taxonomy.MASK_PRESERVE_CLASSES
+    ]
+    sub = [(x0, y0, x1, y1) for (x0, y0, x1, y1) in sub if x0 < x1 and y0 < y1]
+    bucket = bucket or _comp_bucket(max(1, len(sub)))
+    boxes = np.zeros((bucket, 4), np.float32)
+    valid = np.zeros(bucket, bool)
+    for col, bb in enumerate(sub):
+        boxes[col] = bb
+        valid[col] = True
+    return boxes, valid
+
+
+@functools.lru_cache(maxsize=64)
+def _batched_stage_a(cfg: TopologyConfig, in_h: int, in_w: int, sub_bucket: int):
+    """Per-image raster prep for the batched path: device-side component
+    subtraction → resize to the 600-row analysis raster → enhance →
+    quantize/auto-invert. Output stays on device for stage B; bit-identical
+    to the single-image path (host subtraction + _topology_program prefix).
+    """
+    new_h, new_w = cfg.resize_height, int(cfg.resize_height * (in_w / in_h))
+
+    def program(mask_u8, sub_boxes, sub_valid):
+        ys = jnp.arange(in_h, dtype=jnp.float32)[:, None, None]
+        xs = jnp.arange(in_w, dtype=jnp.float32)[None, :, None]
+        in_box = (
+            (xs >= sub_boxes[:, 0])
+            & (xs < sub_boxes[:, 2])
+            & (ys >= sub_boxes[:, 1])
+            & (ys < sub_boxes[:, 3])
+            & sub_valid
+        ).any(-1)
+        emptied = jnp.where(in_box, 0.0, mask_u8.astype(jnp.float32))
+        resized = resize_bilinear(emptied, (new_h, new_w))
+        return _enhance_chain(resized, cfg)
+
+    return jax.jit(program), (new_h, new_w)
+
+
+@functools.lru_cache(maxsize=32)
+def _batched_stage_b(cfg: TopologyConfig, batch: int, pad_w: int, comp_bucket: int):
+    """Chunk-wide CC/stats/touch: ONE dispatch + ONE fetch for a whole
+    batch of analysis rasters (each zero-padded on the right to pad_w —
+    background padding provably changes no label, stat, boundary, or
+    touch result; true widths feed the relative-area threshold)."""
+
+    def single(enhanced_u8, wid, comp_boxes, comp_thr, comp_valid):
+        fg = enhanced_u8 > 0
+        labels, stats, rel_area, keep, touch = _label_touch_stage(
+            fg, wid, cfg, comp_boxes, comp_thr, comp_valid
+        )
+        del labels
+        return stats.labels, stats.centroid, rel_area, keep, touch
+
+    return jax.jit(jax.vmap(single))
+
+
+def extract_nodes_batched(
+    masks: Sequence,
+    bboxes_list: Sequence[Sequence[BBox]],
+    cfg: Optional[TopologyConfig] = None,
+    pad_to: Optional[int] = None,
+) -> list[NodeExtraction]:
+    """Node extraction over a whole batch with TWO device round trips
+    (stage-A dispatches are fetch-free) instead of 2×B.
+
+    masks: per-image (H_i, W_i) uint8 0/255 wire masks — numpy arrays or
+        device-resident jax arrays (e.g. straight from the batched SAM2
+        mask program, avoiding a host round trip entirely).
+    pad_to: pad the batch dim to this size so chunked callers reuse one
+        compiled program for partial final chunks.
+
+    Produces the same nodes as per-image extract_nodes (parity-tested);
+    viz artifacts (emptied/enhanced/label images) are not materialized —
+    this is the throughput path (`fetch_viz=False` semantics).
+    """
+    cfg = cfg or TopologyConfig()
+    n = len(masks)
+    if n == 0:
+        return []
+
+    enhanced = []
+    metas = []  # (resized_bboxes, comp_indices, comp arrays, new_w)
+    comp_bucket = max(
+        _comp_bucket(
+            max(
+                1,
+                sum(
+                    1
+                    for b in bbs
+                    if b.class_name not in taxonomy.NON_COMPONENTS
+                ),
+            )
+        )
+        for bbs in bboxes_list
+    )
+    for mask, bboxes in zip(masks, bboxes_list):
+        in_h, in_w = mask.shape[:2]
+        sub_boxes, sub_valid = _subtract_arrays(bboxes, in_h, in_w)
+        prog_a, (new_h, new_w) = _batched_stage_a(
+            cfg, in_h, in_w, sub_boxes.shape[0]
+        )
+        enhanced.append(prog_a(jnp.asarray(mask), jnp.asarray(sub_boxes), jnp.asarray(sub_valid)))
+        sx, sy = new_w / in_w, new_h / in_h
+        resized_bboxes = [b.scaled(sx, sy) for b in bboxes]
+        comp_indices, comp_boxes, comp_thr, comp_valid = _component_arrays(
+            resized_bboxes, cfg, bucket=comp_bucket
+        )
+        metas.append(
+            (resized_bboxes, comp_indices, comp_boxes, comp_thr, comp_valid, new_w)
+        )
+
+    pad_w = max(((e.shape[1] + 127) // 128) * 128 for e in enhanced)
+    batch = max(pad_to or 0, n)
+    stack = [jnp.pad(e, ((0, 0), (0, pad_w - e.shape[1]))) for e in enhanced]
+    while len(stack) < batch:
+        stack.append(jnp.zeros((cfg.resize_height, pad_w), jnp.float32))
+    prog_b = _batched_stage_b(cfg, batch, pad_w, comp_bucket)
+    widths = np.asarray(
+        [m[5] for m in metas] + [pad_w] * (batch - n), np.float32
+    )
+    out = prog_b(
+        jnp.stack(stack),
+        jnp.asarray(widths),
+        jnp.asarray(np.stack([m[2] for m in metas] + [metas[0][2]] * (batch - n))),
+        jnp.asarray(np.stack([m[3] for m in metas] + [metas[0][3]] * (batch - n))),
+        jnp.asarray(np.stack([m[4] for m in metas] + [metas[0][4]] * (batch - n))),
+    )
+    uniq_b, centroids_b, rel_area_b, keep_b, touch_b = jax.device_get(out)
+
+    results = []
+    for i, (resized_bboxes, comp_indices, _cb, _ct, _cv, _w) in enumerate(metas):
+        keep = keep_b[i]
+        touch = touch_b[i][:, : len(comp_indices)]
+        if not comp_indices or not keep.any():
+            results.append(NodeExtraction([], None, None, None, resized_bboxes))
+            continue
+        nodes, raw_count = _assemble_nodes(
+            resized_bboxes, comp_indices, uniq_b[i], centroids_b[i],
+            rel_area_b[i], keep, touch,
+        )
+        results.append(
+            NodeExtraction(
+                nodes, None, None, None, resized_bboxes, raw_node_count=raw_count
+            )
+        )
+    return results
