@@ -221,4 +221,8 @@ class AnalysisResult:
     node_mask: Optional[np.ndarray] = None
     enhanced_mask: Optional[np.ndarray] = None
     node_visualization: Optional[np.ndarray] = None
+    #: colored wire-contour outlines (reference src/circuit_analyzer.py:405-458)
+    contour_visualization: Optional[np.ndarray] = None
+    #: contour viz + cyan terminal contact points (reference :1598-1601)
+    connection_points_visualization: Optional[np.ndarray] = None
     timings: StageTimings = dataclasses.field(default_factory=StageTimings)

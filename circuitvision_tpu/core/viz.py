@@ -54,6 +54,74 @@ def summarize_components(bboxes: Sequence[BBox]) -> str:
     return "Detected: " + ", ".join(parts)
 
 
+def _region_boundary(region: np.ndarray) -> np.ndarray:
+    """Boundary of a boolean region: pixels with any 8-neighbor outside
+    (image border counts as outside, like cv2.findContours)."""
+    er = region.copy()
+    padded = np.pad(region, 1, mode="constant")
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            er &= padded[1 + dy : 1 + dy + region.shape[0],
+                         1 + dx : 1 + dx + region.shape[1]]
+    return region & ~er
+
+
+def _dilate_bool(mask: np.ndarray, radius: int) -> np.ndarray:
+    out = np.zeros_like(mask)
+    padded = np.pad(mask, radius, mode="constant")
+    h, w = mask.shape
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            if dy * dy + dx * dx <= radius * radius:
+                out |= padded[radius + dy : radius + dy + h,
+                              radius + dx : radius + dx + w]
+    return out
+
+
+def contour_viz(
+    label_image: np.ndarray,
+    kept_labels: Sequence[int],
+    centroids: Sequence[tuple[int, int]],
+) -> np.ndarray:
+    """Colored wire-contour debug image (reference get_contours viz,
+    src/circuit_analyzer.py:405-458): each kept contour outlined ~2 px
+    thick in the 15-color palette with its red id at the centroid."""
+    try:
+        import cv2
+    except Exception:  # pragma: no cover
+        cv2 = None
+    h, w = label_image.shape[:2]
+    out = np.zeros((h, w, 3), np.uint8)
+    for i, (lbl, (cx, cy)) in enumerate(zip(kept_labels, centroids)):
+        region = label_image == lbl
+        bnd = _dilate_bool(_region_boundary(region), 1)  # thickness ≈ 2
+        out[bnd] = BRIGHT_COLORS[i % len(BRIGHT_COLORS)]
+        if cv2 is not None:
+            cv2.putText(out, str(i), (int(cx) + 10, int(cy) + 10),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, (255, 0, 0), 2)
+    return out
+
+
+def connection_points_viz(
+    contour_img: np.ndarray, points: Sequence[tuple[int, int]]
+) -> np.ndarray:
+    """Contour viz + filled cyan circles at every terminal contact point
+    (reference src/circuit_analyzer.py:1598-1601)."""
+    try:
+        import cv2
+    except Exception:  # pragma: no cover
+        cv2 = None
+    out = np.ascontiguousarray(contour_img.copy())
+    for x, y in points:
+        if cv2 is not None:
+            cv2.circle(out, (int(x), int(y)), 5, (0, 255, 255), -1)
+        else:
+            out[max(0, int(y) - 2) : int(y) + 3, max(0, int(x) - 2) : int(x) + 3] = (
+                0, 255, 255,
+            )
+    return out
+
+
 def node_overlay(
     mask_or_image: np.ndarray, nodes: Sequence[Node], label_image: np.ndarray = None
 ) -> np.ndarray:

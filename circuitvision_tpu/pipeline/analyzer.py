@@ -312,6 +312,8 @@ class CircuitAnalyzerTPU:
                 result.nodes = extraction.nodes
                 result.node_mask = extraction.emptied_mask
                 result.enhanced_mask = extraction.enhanced_mask
+                result.contour_visualization = extraction.contour_viz
+                result.connection_points_visualization = extraction.connection_viz
                 if extraction.nodes:
                     from ..core.viz import node_overlay
 

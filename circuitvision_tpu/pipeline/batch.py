@@ -58,6 +58,12 @@ logger = logging.getLogger(__name__)
 # Bit weights matching np.unpackbits' big-endian bit order.
 _BIT_WEIGHTS = (128, 64, 32, 16, 8, 4, 2, 1)
 
+#: Max images per batched node-extraction program. Batching exists to
+#: amortize host↔device round trips; past ~4 images the RTT savings are
+#: marginal while the vmapped CC program's compile time (minutes on a
+#: slow build host) and peak memory grow linearly.
+_EXTRACT_SUB_BATCH = 4
+
 
 @dataclasses.dataclass
 class BatchOutputs:
@@ -383,19 +389,22 @@ class BatchedPipeline:
         if not idx:
             return
         try:
-            extractions = extract_nodes_batched(
-                [
-                    staged[i].mask_dev
-                    if staged[i].mask_dev is not None
-                    else results[i].sam_mask
-                    for i in idx
-                ],
-                [results[i].bboxes for i in idx],
-                self.cfg.topology,
-                pad_to=self.batch_size,
-            )
-            for i, ex in zip(idx, extractions):
-                results[i].nodes = ex.nodes
+            sub = _EXTRACT_SUB_BATCH
+            for s0 in range(0, len(idx), sub):
+                group = idx[s0 : s0 + sub]
+                extractions = extract_nodes_batched(
+                    [
+                        staged[i].mask_dev
+                        if staged[i].mask_dev is not None
+                        else results[i].sam_mask
+                        for i in group
+                    ],
+                    [results[i].bboxes for i in group],
+                    self.cfg.topology,
+                    pad_to=min(sub, self.batch_size),
+                )
+                for i, ex in zip(group, extractions):
+                    results[i].nodes = ex.nodes
         except Exception:
             logger.exception("batched node analysis failed; per-image fallback")
             for i in idx:

@@ -70,6 +70,10 @@ class NodeExtraction:
     label_image: np.ndarray
     resized_bboxes: list[BBox]
     raw_node_count: int = 0
+    #: colored contour outlines + ids (reference :405-458); fetch_viz only
+    contour_viz: Optional[np.ndarray] = None
+    #: contour viz + cyan terminal contact points (reference :1598-1601)
+    connection_viz: Optional[np.ndarray] = None
 
 
 def _prepare_raster(
@@ -262,10 +266,58 @@ def extract_nodes(
     nodes, raw_count = _assemble_nodes(
         resized_bboxes, comp_indices, uniq, centroids, rel_area, keep, touch
     )
+    cviz = pviz = None
+    if fetch_viz and labels is not None:
+        from ..core.viz import connection_points_viz, contour_viz
+
+        kept_rows = [k for k in range(len(uniq)) if keep[k]]
+        cviz = contour_viz(
+            labels,
+            [int(uniq[k]) for k in kept_rows],
+            [tuple(int(c) for c in centroids[k]) for k in kept_rows],
+        )
+        pts = _connection_points(
+            labels, uniq, kept_rows, touch, resized_bboxes, comp_indices, cfg
+        )
+        pviz = connection_points_viz(cviz, pts)
     return NodeExtraction(
         nodes, emptied, enhanced_u8, labels, resized_bboxes,
-        raw_node_count=raw_count,
+        raw_node_count=raw_count, contour_viz=cviz, connection_viz=pviz,
     )
+
+
+def _connection_points(
+    labels, uniq, kept_rows, touch, resized_bboxes, comp_indices, cfg
+) -> list[tuple[int, int]]:
+    """Boundary pixels of each kept contour that satisfy the terminal
+    predicate against a touching component (the points the reference
+    collects during its contour walks, src/circuit_analyzer.py:1402-1446)."""
+    from ..core.viz import _region_boundary
+
+    points: list[tuple[int, int]] = []
+    for k in kept_rows:
+        row = touch[k]
+        if not row.any():
+            continue
+        bnd = _region_boundary(labels == int(uniq[k]))
+        ys, xs = np.nonzero(bnd)
+        if len(xs) == 0:
+            continue
+        for ci, gi in enumerate(comp_indices):
+            if not row[ci]:
+                continue
+            b = resized_bboxes[gi]
+            t = taxonomy.pixel_threshold_for_class(b.class_name, cfg)
+            inside = (xs >= b.xmin) & (xs <= b.xmax) & (ys >= b.ymin) & (ys <= b.ymax)
+            near = (
+                (np.abs(xs - b.xmin) <= t)
+                | (np.abs(xs - b.xmax) <= t)
+                | (np.abs(ys - b.ymin) <= t)
+                | (np.abs(ys - b.ymax) <= t)
+            )
+            sel = inside | near
+            points.extend(zip(xs[sel].tolist(), ys[sel].tolist()))
+    return points
 
 
 def _assemble_nodes(

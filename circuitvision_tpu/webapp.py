@@ -96,6 +96,8 @@ function render(){
  if(R.mask) s+='<img class="result" src="data:image/png;base64,'+R.mask+'">';
  if(R.enhanced) s+='<h3>Enhanced (analysis space)</h3><img class="result" src="data:image/png;base64,'+R.enhanced+'">';
  if(R.node_viz) s+='<h3>Nodes</h3><img class="result" src="data:image/png;base64,'+R.node_viz+'">';
+ if(R.contour_viz) s+='<h3>Wire contours</h3><img class="result" src="data:image/png;base64,'+R.contour_viz+'">';
+ if(R.connection_viz) s+='<h3>Connection points</h3><img class="result" src="data:image/png;base64,'+R.connection_viz+'">';
  if(R.crop) s+='<h3>Crop decision</h3><pre>'+JSON.stringify(R.crop,null,2)+'</pre>';
  document.getElementById('p1').innerHTML=s||'No mask.';
  let n='<h3>Netlist ('+R.nodes+' nodes)</h3><textarea id="net">'+R.netlist_text+'</textarea>';
@@ -188,6 +190,10 @@ class Handler(BaseHTTPRequestHandler):
                         "mask": _png_b64(result.sam_mask),
                         "enhanced": _png_b64(result.enhanced_mask),
                         "node_viz": _png_b64(result.node_visualization),
+                        "contour_viz": _png_b64(result.contour_visualization),
+                        "connection_viz": _png_b64(
+                            result.connection_points_visualization
+                        ),
                         "crop": (
                             {
                                 "applied": result.crop_info.applied,

