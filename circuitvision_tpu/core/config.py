@@ -63,6 +63,11 @@ class SAM2Config:
     global_att_blocks: Sequence[int] = (23, 33, 43)
     window_pos_embed_bkg_spatial_size: Sequence[int] = (7, 7)
     window_spec: Sequence[int] = (8, 4, 16, 8)
+    # Round trunk channel widths up to this multiple of the 128-lane MXU
+    # tile (0 = native widths). Parameter pad regions are zero
+    # (models/sam2/padding.py) so outputs match the native model; see
+    # PERF.md for the measured throughput trade.
+    trunk_pad_multiple: int = 0
     # FPN neck (yaml:17-28)
     d_model: int = 256
     backbone_channel_list: Sequence[int] = (1152, 576, 288, 144)

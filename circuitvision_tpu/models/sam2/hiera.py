@@ -49,6 +49,90 @@ def _pool2x(x: jax.Array) -> jax.Array:
     return nn.max_pool(x, (2, 2), strides=(2, 2))
 
 
+def _rup(d: int, m: int) -> int:
+    """Round d up to a multiple of m (m=0 ⇒ identity)."""
+    return d if not m else -(-d // m) * m
+
+
+class TrunkLayerNorm(nn.Module):
+    """Trunk LayerNorm: channel-true statistics, optional MXU padding,
+    optional fused Pallas execution and residual-join fusion.
+
+    - `true_dim` < C marks MXU-alignment padding (hiera.pad_multiple):
+      statistics divide by the TRUE channel count (padded entries are
+      zero by construction, so plain sums already exclude them), and the
+      scale parameter's padded tail is zero-initialized so padded lanes
+      stay exactly zero through the affine transform. Equivalent to
+      nn.LayerNorm on the first `true_dim` channels; for true_dim == C
+      this IS flax's fast-variance LayerNorm math (f32 stats). Param
+      names match nn.LayerNorm (scale/bias), so checkpoint conversion is
+      a pure zero-pad.
+    - On TPU with `fused`, runs ops/pallas/fused_ln (one HBM read/write
+      instead of XLA's convert→reduce→broadcast chains — 37 ms of a
+      241 ms batch-4 SAM2-L step, traced). Default OFF: measured
+      STANDALONE the kernel wins, but inside the model the custom-call
+      boundary blocks XLA's surrounding fusions and the full SAM2-L step
+      regresses 183→191 ms (PERF.md). Kept for the planned use inside the
+      fused window-attention block kernel, where LN shares the kernel
+      with the matmuls instead of fencing them.
+    - `__call__(x, residual=r)` computes the Hiera block's join
+      `resid = r + x; y = LN(resid)` (fused into the same pass on TPU)
+      and returns (resid, y); without `residual` it returns y alone.
+    """
+
+    true_dim: int = 0
+    epsilon: float = 1e-6
+    dtype: Any = jnp.float32
+    fused: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, residual: jax.Array | None = None):
+        padded = x.shape[-1]
+        true = self.true_dim or padded
+
+        def scale_init(key, shape, dtype=jnp.float32):
+            return jnp.concatenate(
+                [jnp.ones((true,), dtype), jnp.zeros((padded - true,), dtype)]
+            )
+
+        scale = self.param("scale", scale_init, (padded,))
+        bias = self.param("bias", nn.initializers.zeros, (padded,))
+
+        if self.fused and jax.default_backend() == "tpu":
+            from ...ops.pallas.fused_ln import fused_add_layernorm, fused_layernorm
+
+            shape = x.shape
+            x2 = x.reshape(-1, padded)
+            if residual is not None:
+                resid, y = fused_add_layernorm(
+                    residual.reshape(-1, padded), x2, scale, bias,
+                    true_dim=true, eps=self.epsilon,
+                )
+                return resid.reshape(shape), y.reshape(shape).astype(self.dtype)
+            return fused_layernorm(
+                x2, scale, bias, true_dim=true, eps=self.epsilon
+            ).reshape(shape).astype(self.dtype)
+
+        if residual is not None:
+            x = residual + x
+            resid = x
+        xf = x.astype(jnp.float32)
+        s1 = jnp.sum(xf, axis=-1, keepdims=True)
+        s2 = jnp.sum(xf * xf, axis=-1, keepdims=True)
+        mean = s1 / true
+        var = jnp.maximum(s2 / true - mean * mean, 0.0)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = (y * scale + bias).astype(self.dtype)
+        if residual is not None:
+            return resid, y
+        return y
+
+
+#: historical name — the padded-statistics behavior now lives on
+#: TrunkLayerNorm via true_dim.
+PaddedLayerNorm = TrunkLayerNorm
+
+
 #: sequences at or above this length route to the flash-attention kernel
 #: on TPU (the Hiera-L global blocks at 64² = 4096 tokens). Measured on
 #: v5e at that shape (B4 H8 N4096 D72, head_dim padded 72→128): tuned
@@ -73,14 +157,17 @@ def _flash_block_sizes(n: int):
     )
 
 
-def _flash_or_einsum_attention(q, k, v, head_dim: int) -> jax.Array:
-    """(B, N, H, D) attention. For long sequences on TPU, uses the Pallas
-    flash-attention kernel so the (N, N) score matrix never touches HBM —
-    the Hiera-L global blocks otherwise materialize 4096² f32 scores per
-    head (~47 ms/step at batch 4 on v5e, traced). head_dim pads to the
-    128-lane tile; the padded V columns are zero so outputs slice exactly.
+def _flash_or_einsum_attention(q, k, v, scale_dim: int) -> jax.Array:
+    """(B, N, H, D) attention with softmax scale scale_dim**-0.5 (the TRUE
+    head dim — equal to D unless the channel axis carries MXU padding).
+    For long sequences on TPU, uses the Pallas flash-attention kernel so
+    the (N, N) score matrix never touches HBM — the Hiera-L global blocks
+    otherwise materialize 4096² f32 scores per head (~47 ms/step at batch
+    4 on v5e, traced). head_dim pads to the 128-lane tile; the padded V
+    columns are zero so outputs slice exactly.
     """
-    scale = head_dim**-0.5
+    scale = scale_dim**-0.5
+    head_dim = q.shape[-1]
     n = q.shape[1]
     use_flash = n >= FLASH_MIN_SEQ and jax.default_backend() not in ("cpu",)
     if use_flash:
@@ -115,11 +202,17 @@ class MultiScaleAttention(nn.Module):
     num_heads: int
     q_pool: bool = False
     dtype: Any = jnp.float32
+    # True (unpadded) head dim for the softmax scale; 0 ⇒ dim_out/heads.
+    # When the trunk channels are MXU-padded, dim_out is the padded width
+    # and each head carries zero-padded tail lanes that cancel in q·k,
+    # but the scale must stay the reference's true head_dim**-0.5.
+    true_head_dim: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         b, h, w, _ = x.shape
         head_dim = self.dim_out // self.num_heads
+        scale_dim = self.true_head_dim or head_dim
         qkv = nn.Dense(self.dim_out * 3, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
@@ -129,7 +222,7 @@ class MultiScaleAttention(nn.Module):
             h, w = q.shape[1], q.shape[2]
             q = q.reshape(b, h * w, self.num_heads, head_dim)
 
-        out = _flash_or_einsum_attention(q, k, v, head_dim)
+        out = _flash_or_einsum_attention(q, k, v, scale_dim)
         out = out.reshape(b, h, w, self.dim_out)
         return nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(out)
 
@@ -142,12 +235,26 @@ class MultiScaleBlock(nn.Module):
     q_stride: bool = False
     window_size: int = 0
     dtype: Any = jnp.float32
+    # True (unpadded) dims when the channel axis carries MXU padding;
+    # 0 ⇒ no padding (true == declared). Padding changes: LayerNorm stats
+    # divide by the true width, the attention scale uses the true head
+    # dim, and the MLP hidden width is rup(true_dim_out * mlp_ratio).
+    true_dim: int = 0
+    true_dim_out: int = 0
+    mlp_hidden: int = 0
+
+    def _norm(self, true_dim: int, name: str):
+        return TrunkLayerNorm(
+            true_dim=true_dim, epsilon=1e-6, dtype=self.dtype, name=name
+        )
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         shortcut = x
-        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        if self.dim != self.dim_out:
+        x = self._norm(self.true_dim, "norm1")(x)
+        # Stage transition is decided by the TRUE dims — padded widths can
+        # coincide across a transition (e.g. 32→64 both padding to 64).
+        if (self.true_dim or self.dim) != (self.true_dim_out or self.dim_out):
             shortcut = _pool2x(nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(x))
 
         window = self.window_size
@@ -156,8 +263,10 @@ class MultiScaleBlock(nn.Module):
         if window > 0:
             x, pad_hw = window_partition(x, window)
 
+        true_out = self.true_dim_out or self.dim_out
         x = MultiScaleAttention(
             self.dim_out, self.num_heads, q_pool=self.q_stride, dtype=self.dtype,
+            true_head_dim=true_out // self.num_heads,
             name="attn",
         )(x)
 
@@ -179,9 +288,8 @@ class MultiScaleBlock(nn.Module):
         if window > 0:
             x = window_unpartition(x, window, pad_hw, hw)
 
-        x = shortcut + x
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        hidden = int(self.dim_out * self.mlp_ratio)
+        x, y = self._norm(self.true_dim_out, "norm2")(x, residual=shortcut)
+        hidden = self.mlp_hidden or int(self.dim_out * self.mlp_ratio)
         y = nn.Dense(hidden, dtype=self.dtype, name="mlp_layers_0")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim_out, dtype=self.dtype, name="mlp_layers_1")(y)
@@ -199,12 +307,22 @@ class Hiera(nn.Module):
     window_pos_embed_bkg_spatial_size: Sequence[int] = (7, 7)
     window_spec: Sequence[int] = (8, 4, 16, 8)
     dtype: Any = jnp.float32
+    # Round every channel width up to this multiple (0 = off). Hiera-L's
+    # native widths (144/288/576) straddle the 128-lane MXU tile; padding
+    # trades FLOPs (+78%/+33%/+11% per stage) for full-tile matmuls.
+    # Padded parameter regions are zero (see padding.pad_trunk_params), so
+    # outputs equal the unpadded model's: zero k/v lanes cancel in q·k,
+    # PaddedLayerNorm keeps true-width statistics, and stage outputs are
+    # sliced back to true widths before the neck.
+    pad_multiple: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array) -> list[jax.Array]:
+        pm = self.pad_multiple
+        p_embed = _rup(self.embed_dim, pm)
         # Patch embed: 7×7 conv stride 4 pad 3.
         x = nn.Conv(
-            self.embed_dim, (7, 7), strides=(4, 4), padding=((3, 3), (3, 3)),
+            p_embed, (7, 7), strides=(4, 4), padding=((3, 3), (3, 3)),
             dtype=self.dtype, name="patch_embed_proj",
         )(x.astype(self.dtype))
         b, h, w, _ = x.shape
@@ -214,14 +332,14 @@ class Hiera(nn.Module):
         bkg = self.param(
             "pos_embed",
             nn.initializers.zeros,
-            (1, *self.window_pos_embed_bkg_spatial_size, self.embed_dim),
+            (1, *self.window_pos_embed_bkg_spatial_size, p_embed),
         )
         win = self.param(
             "pos_embed_window",
             nn.initializers.zeros,
-            (1, self.window_spec[0], self.window_spec[0], self.embed_dim),
+            (1, self.window_spec[0], self.window_spec[0], p_embed),
         )
-        pos = jax.image.resize(bkg, (1, h, w, self.embed_dim), method="cubic")
+        pos = jax.image.resize(bkg, (1, h, w, p_embed), method="cubic")
         tiles = (1, h // self.window_spec[0], w // self.window_spec[0], 1)
         pos = pos + jnp.tile(win, tiles)
         x = x + pos.astype(x.dtype)
@@ -230,7 +348,8 @@ class Hiera(nn.Module):
         stage_ends = [sum(self.stages[: i + 1]) - 1 for i in range(len(self.stages))]
         q_pool_blocks = [e + 1 for e in stage_ends[:-1]]
 
-        dim = self.embed_dim
+        true_dim = self.embed_dim
+        dim = p_embed
         heads = self.num_heads
         cur_stage = 0
         outputs: list[jax.Array] = []
@@ -258,11 +377,13 @@ class Hiera(nn.Module):
             return x
 
         for i in range(depth):
+            true_dim_out = true_dim
             dim_out = dim
             window = self.window_spec[cur_stage]
             is_q_pool = i in q_pool_blocks
             if is_q_pool:
-                dim_out = dim * 2
+                true_dim_out = true_dim * 2
+                dim_out = _rup(true_dim_out, pm)
                 heads = heads * 2
                 cur_stage += 1
                 window = self.window_spec[cur_stage]
@@ -295,12 +416,16 @@ class Hiera(nn.Module):
                     # attention of the full-layout formulation.
                     window_size=0 if part_window else window,
                     dtype=self.dtype,
+                    true_dim=true_dim if pm else 0,
+                    true_dim_out=true_dim_out if pm else 0,
+                    mlp_hidden=_rup(int(true_dim_out * 4.0), pm) if pm else 0,
                     name=f"blocks_{i}",
                 )(x)
             dim = dim_out
+            true_dim = true_dim_out
             if is_q_pool:
                 full_hw = (x.shape[1], x.shape[2])  # pooled in full layout
             if i in stage_ends:
                 x = to_full(x)
-                outputs.append(x)
+                outputs.append(x[..., :true_dim] if dim != true_dim else x)
         return outputs

@@ -52,25 +52,82 @@ class PositionEmbeddingRandom(nn.Module):
         return jnp.concatenate([jnp.sin(coords), jnp.cos(coords)], axis=-1)  # (H,W,256)
 
 
+class _ConvParams(nn.Module):
+    """Parameter holder matching nn.Conv's param names/shapes, so the
+    fused-kernel path and the XLA path share one checkpoint layout."""
+
+    features: int
+    kernel_size: tuple
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.kernel_size, in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class MultiKernelRefinement(nn.Module):
     """Parallel odd-kernel conv branches + GELU, 1×1 combiner
-    (src/sam2_infer.py:130-189). Input/output (B, H, W, 1) logits."""
+    (src/sam2_infer.py:130-189). Input/output (B, H, W, 1) logits.
+
+    On TPU the whole head runs as one fused Pallas kernel (the C_in=1
+    convs are MXU-degenerate; XLA's generic path costs ~15 ms per batch-4
+    step on v5e — see ops/pallas/refinement_fused.py). Elsewhere it runs
+    as plain XLA convs. Both paths share the same parameters.
+    """
 
     kernel_sizes: tuple = (3, 5, 7, 11)
     intermediate_channels: int = 4
     dtype: Any = jnp.float32
+    use_fused: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        ic = self.intermediate_channels
+        branch_params = [
+            _ConvParams(ic, (k, k), name=f"conv_branches_{i}")(1)
+            for i, k in enumerate(self.kernel_sizes)
+        ]
+        comb_w, comb_b = _ConvParams(1, (1, 1), name="combiner_conv")(
+            ic * len(self.kernel_sizes)
+        )
+
+        fused_ok = (
+            self.use_fused
+            and tuple(self.kernel_sizes) == (3, 5, 7, 11)
+            and ic == 4
+            and jax.default_backend() == "tpu"
+        )
+        if fused_ok:
+            from ...ops.pallas.refinement_fused import refinement_fused
+
+            return refinement_fused(
+                x,
+                tuple(w for w, _ in branch_params),
+                tuple(b for _, b in branch_params),
+                comb_w,
+                comb_b,
+            ).astype(self.dtype)
+
+        dn = ("NHWC", "HWIO", "NHWC")
+        dt = self.dtype
         branches = []
-        for i, k in enumerate(self.kernel_sizes):
-            y = nn.Conv(
-                self.intermediate_channels, (k, k), padding="SAME",
-                dtype=self.dtype, name=f"conv_branches_{i}",
-            )(x)
+        for w, b in branch_params:
+            y = jax.lax.conv_general_dilated(
+                x.astype(dt), w.astype(dt), (1, 1), "SAME", dimension_numbers=dn
+            ) + b.astype(dt)
             branches.append(nn.gelu(y, approximate=False))
         cat = jnp.concatenate(branches, axis=-1)
-        return nn.Conv(1, (1, 1), dtype=self.dtype, name="combiner_conv")(cat)
+        return (
+            jax.lax.conv_general_dilated(
+                cat, comb_w.astype(dt), (1, 1), "SAME", dimension_numbers=dn
+            )
+            + comb_b.astype(dt)
+        )
 
 
 class SAM2ImageSegmenter(nn.Module):
@@ -97,6 +154,7 @@ class SAM2ImageSegmenter(nn.Module):
             window_pos_embed_bkg_spatial_size=tuple(cfg.window_pos_embed_bkg_spatial_size),
             window_spec=tuple(cfg.window_spec),
             dtype=dt,
+            pad_multiple=cfg.trunk_pad_multiple,
             name="trunk",
         )(images)
         fpn, _pos = FpnNeck(

@@ -1,20 +1,29 @@
-"""Fused MultiKernelRefinement Pallas kernel (EXPERIMENTAL - not wired).
-
-Status: numerically specified and unit-testable in interpreter mode, but
-the ~820-vector-op unrolled Mosaic program hangs this environment's
-remote TPU compile helper (>1 h with no progress; normal kernels compile
-in seconds). Left unwired from the model pending a tap-loop formulation
-with pltpu.roll-based shifts or an upstream fix; the XLA path costs
-~15 ms/step at batch 4 (see PERF.md).
+"""Fused MultiKernelRefinement Pallas kernel (loop-based formulation).
 
 The refinement head (src/sam2_infer.py:130-189 in the reference) runs
 four parallel convs (k = 3,5,7,11, C_in=1, C_out=4) + GELU + a 1×1
 combiner over the full-resolution 1024² logit map. With C_in=1 these
-convs are degenerate for the MXU, and XLA's generic path costs ~15 ms/step
-at batch 4 on v5e (measured). This kernel computes the whole head as
-shifted multiply-adds on the VPU, one row band at a time, all
-intermediates VMEM-resident: one HBM read of the logits and one write of
-the refined logits.
+convs are degenerate for the MXU, and XLA's generic path costs ~15 ms per
+batch-4 step on v5e (measured). This kernel computes the whole head as
+shifted multiply-adds on the VPU, one row band at a time, with all
+intermediates VMEM-resident: one HBM read of the logits, one write of the
+refined logits.
+
+History: a fully unrolled 820-vector-op version hung this environment's
+remote Mosaic compile helper (>1 h; normal kernels compile in seconds).
+This formulation keeps the program small and static:
+
+- the 11 distinct lane (column) offsets are materialized ONCE per tile as
+  a lane-shift stack (static slices only — Mosaic's dynamic lane offsets
+  are the expensive/fragile case);
+- each branch then runs a `fori_loop` over its k² taps, reading the tap
+  weight from SMEM at a dynamic index and the shifted window via a
+  dynamic *sublane* slice + dynamic leading-dim index, both of which
+  Mosaic lowers cheaply.
+
+GELU is the erf-based exact form (torch nn.GELU default); Mosaic lowers
+neither erf nor erfc, so erf uses the Abramowitz–Stegun 7.1.26 polynomial
+(|error| <= 1.5e-7).
 """
 from __future__ import annotations
 
@@ -24,12 +33,13 @@ import jax
 import jax.numpy as jnp
 
 KERNELS = (3, 5, 7, 11)
-HALO = 8  # max needed is 5 (k=11); padded to the sublane tile
+MAX_R = max(KERNELS) // 2
+HALO = 8  # sublane halo: >= MAX_R, padded to the 8-sublane tile
+N_SHIFTS = 2 * MAX_R + 1  # 11 distinct lane offsets
 
 
 def _erf_as(x: jax.Array) -> jax.Array:
-    """erf via Abramowitz–Stegun 7.1.26 (|error| ≤ 1.5e-7). Mosaic lowers
-    neither erf nor erfc, so the exact-GELU path needs a polynomial form."""
+    """erf via Abramowitz–Stegun 7.1.26 (|error| <= 1.5e-7)."""
     sign = jnp.sign(x)
     ax = jnp.abs(x)
     t = 1.0 / (1.0 + 0.3275911 * ax)
@@ -41,62 +51,86 @@ def _erf_as(x: jax.Array) -> jax.Array:
 
 
 def _gelu_exact(x: jax.Array) -> jax.Array:
-    """erf-based GELU (torch nn.GELU default), accurate to ~1e-7."""
     return 0.5 * x * (1.0 + _erf_as(x * 0.7071067811865476))
 
 
-def _kernel(x_hbm, w3, b3, w5, b5, w7, b7, w11, b11, wc, bc, out_ref, scratch, sem,
-            *, tile_h, width):
+def _kernel(
+    x_hbm, w3, b3, w5, b5, w7, b7, w11, b11, wc, bc,
+    out_ref, xs, lanes, a0, a1, a2, a3, h0, h1, h2, h3, sem,
+    *, tile_h, width,
+):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     bidx = pl.program_id(0)
     i = pl.program_id(1)
     copy = pltpu.make_async_copy(
-        x_hbm.at[bidx, pl.ds(i * tile_h, tile_h + 2 * HALO), :], scratch, sem
+        x_hbm.at[bidx, pl.ds(i * tile_h, tile_h + 2 * HALO), :], xs, sem
     )
     copy.start()
     copy.wait()
-    x = scratch[:]  # (tile_h + 2*HALO, width + 2*HALO)
 
-    weights = {3: w3[:], 5: w5[:], 7: w7[:], 11: w11[:]}
-    biases = {3: b3[:], 5: b5[:], 7: b7[:], 11: b11[:]}
-    wc_v = wc[:]  # (16,)
-    acc_out = jnp.full((tile_h, width), bc[0], jnp.float32)
+    # Lane-shift stack: lanes[j] = xs shifted left by (HALO - MAX_R + j)
+    # columns, j = 0..10 — the 11 static lane offsets any tap can need.
+    # Built from static VALUE slices (Mosaic lowers those as vector
+    # shifts); the tap loop below then only ever indexes the stack's
+    # untiled leading dim dynamically. Dynamic *sublane* slices are not
+    # used anywhere — Mosaic requires those to be provably 8-aligned.
+    xv = xs[:]
+    for j in range(N_SHIFTS):
+        lanes[j] = xv[:, HALO - MAX_R + j : HALO - MAX_R + j + width]
 
-    # All compute stays on 2-D (sublane, lane) tiles — Mosaic's layout
-    # inference rejects 3-D broadcasts/contractions here. Shifted windows
-    # of x are hoisted so the four channels of a branch share them.
+    accs = (a0, a1, a2, a3)
+    weights = {3: w3, 5: w5, 7: w7, 11: w11}
+    biases = {3: b3, 5: b5, 7: b7, 11: b11}
+
+    out_ref[0] = jnp.full((tile_h, width), bc[0], jnp.float32)
+
     ch = 0
+    band = tile_h + 2 * HALO
     for ksize in KERNELS:
-        w = weights[ksize]  # (k, k, 4) — squeezed C_in
+        w_ref = weights[ksize]  # SMEM (k*k*4,)
+        b_ref = biases[ksize]  # SMEM (4,)
         r = ksize // 2
-        accs = [
-            jnp.full((tile_h, width), biases[ksize][c], jnp.float32)
-            for c in range(4)
-        ]
-        for dy in range(ksize):
-            for dx in range(ksize):
-                shifted = x[
-                    HALO - r + dy : HALO - r + dy + tile_h,
-                    HALO - r + dx : HALO - r + dx + width,
-                ]
-                for c in range(4):
-                    accs[c] = accs[c] + w[dy, dx, c] * shifted
         for c in range(4):
-            acc_out = acc_out + wc_v[ch + c] * _gelu_exact(accs[c])
+            accs[c][:] = jnp.full((tile_h, width), b_ref[c], jnp.float32)
+
+        # Per row offset dy (static): accumulate the lane (dx) taps over
+        # the FULL aligned band into SCRATCH refs (mutation guarantees
+        # storage reuse — as SSA values the 26 unrolled dy-chains kept
+        # ~34 MB of band temporaries live and spilled to HBM: 80 ms/step),
+        # then fold each band into the output window with ONE unaligned
+        # row slice per (dy, c). Unaligned sublane slices stay out of the
+        # inner loop — each costs a full-tile sublane-rotate relayout.
+        hbands = (h0, h1, h2, h3)
+        for dy in range(ksize):
+            row0 = (HALO - r) + dy
+            for dx in range(ksize):
+                v = lanes[(MAX_R - r) + dx]
+                base = (dy * ksize + dx) * 4
+                for c in range(4):
+                    if dx == 0:
+                        hbands[c][:] = w_ref[base + c] * v
+                    else:
+                        hbands[c][:] = hbands[c][:] + w_ref[base + c] * v
+            for c in range(4):
+                hv = hbands[c][:]
+                accs[c][:] = accs[c][:] + hv[row0 : row0 + tile_h, :]
+
+        for c in range(4):
+            out_ref[0] = out_ref[0] + wc[ch + c] * _gelu_exact(accs[c][:])
         ch += 4
-    out_ref[0] = acc_out
 
 
-@functools.partial(jax.jit, static_argnames=("tile_h",))
+@functools.partial(jax.jit, static_argnames=("tile_h", "interpret"))
 def refinement_fused(
     logits: jax.Array,  # (B, H, W, 1) float32/bf16
-    branch_weights: list[jax.Array],  # [(k,k,1,4)] for k in 3,5,7,11
-    branch_biases: list[jax.Array],  # [(4,)]
+    branch_weights: tuple,  # ((k,k,1,4)) for k in 3,5,7,11
+    branch_biases: tuple,  # ((4,))
     combiner_weight: jax.Array,  # (1,1,16,1)
     combiner_bias: jax.Array,  # (1,)
     tile_h: int = 128,
+    interpret: bool = False,
 ) -> jax.Array:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -115,21 +149,31 @@ def refinement_fused(
         mode="constant",
     )
 
-    ws = [jnp.asarray(wt, jnp.float32)[:, :, 0, :] for wt in branch_weights]
-    bs = [jnp.asarray(bt, jnp.float32) for bt in branch_biases]
+    ws = [jnp.asarray(wt, jnp.float32).reshape(-1) for wt in branch_weights]
+    bs = [jnp.asarray(bt, jnp.float32).reshape(-1) for bt in branch_biases]
     wc = jnp.asarray(combiner_weight, jnp.float32).reshape(16)
     bc = jnp.asarray(combiner_bias, jnp.float32).reshape(1)
 
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         functools.partial(_kernel, tile_h=tile_h, width=padded_w),
         out_shape=jax.ShapeDtypeStruct((b, padded_h, padded_w), jnp.float32),
         grid=(b, n_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + [smem() for _ in range(10)],
         out_specs=pl.BlockSpec((1, tile_h, padded_w), lambda bi, i: (bi, i, 0)),
         scratch_shapes=[
             pltpu.VMEM((tile_h + 2 * HALO, padded_w + 128), jnp.float32),
+            pltpu.VMEM((N_SHIFTS, tile_h + 2 * HALO, padded_w), jnp.float32),
+            pltpu.VMEM((tile_h, padded_w), jnp.float32),
+            pltpu.VMEM((tile_h, padded_w), jnp.float32),
+            pltpu.VMEM((tile_h, padded_w), jnp.float32),
+            pltpu.VMEM((tile_h, padded_w), jnp.float32),
+            pltpu.VMEM((tile_h + 2 * HALO, padded_w), jnp.float32),
+            pltpu.VMEM((tile_h + 2 * HALO, padded_w), jnp.float32),
+            pltpu.VMEM((tile_h + 2 * HALO, padded_w), jnp.float32),
+            pltpu.VMEM((tile_h + 2 * HALO, padded_w), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
+        interpret=interpret,
     )(x, ws[0], bs[0], ws[1], bs[1], ws[2], bs[2], ws[3], bs[3], wc, bc)
     return out[:, :h, :w, None]

@@ -251,3 +251,57 @@ class TestLayoutPersistentWindows:
         assert feats[1].shape == (1, 10, 10, 32)
         assert feats[2].shape == (1, 5, 5, 64)
         assert feats[3].shape == (1, 2, 2, 128)
+
+
+class TestChannelPadding:
+    """MXU channel padding (hiera.pad_multiple + padding.pad_trunk_params):
+    the padded trunk with zero-padded weights must reproduce the native
+    trunk's outputs exactly (modulo fp accumulation order)."""
+
+    KW = dict(
+        embed_dim=24,
+        num_heads=2,
+        stages=(1, 1, 2, 1),
+        global_att_blocks=(3,),
+        window_spec=(4, 2, 4, 2),
+    )
+
+    def test_padded_trunk_matches_native(self):
+        from circuitvision_tpu.models.sam2.padding import pad_trunk_params
+
+        base = Hiera(**self.KW)
+        padded = Hiera(**self.KW, pad_multiple=32)
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 64, 64, 3)), jnp.float32
+        )
+        vb = base.init(jax.random.PRNGKey(7), x)
+        pt = pad_trunk_params(
+            jax.tree.map(np.asarray, vb["params"]),
+            embed_dim=24, num_heads=2, stages=(1, 1, 2, 1), pad_multiple=32,
+        )
+        vp = {"params": jax.tree.map(jnp.asarray, pt)}
+
+        # padded shapes agree with a fresh padded init
+        ref_shapes = jax.tree.map(lambda a: a.shape, padded.init(jax.random.PRNGKey(0), x)["params"])
+        assert jax.tree.map(lambda a: a.shape, vp["params"]) == ref_shapes
+
+        with jax.default_matmul_precision("highest"):
+            ob = base.apply(vb, x)
+            op = padded.apply(vp, x)
+        for a, b in zip(ob, op):
+            assert a.shape == b.shape  # outputs sliced back to true widths
+            err = float(jnp.abs(a - b).max())
+            scale = float(jnp.abs(a).max())
+            assert err / max(scale, 1e-9) < 1e-4
+
+    def test_padded_segmenter_forward(self):
+        """Full segmenter with trunk padding compiles and runs (the neck
+        consumes true-width features, so only the trunk changes)."""
+        cfg = dataclasses.replace(TINY, trunk_pad_multiple=64)
+        model = SAM2ImageSegmenter(cfg=cfg)
+        variables = init_params(model, jax.random.PRNGKey(0))
+        high, low, iou = model.apply(
+            variables, jnp.zeros((1, cfg.resolution, cfg.resolution, 3), jnp.float32)
+        )
+        assert high.shape == (1, cfg.resolution, cfg.resolution, 1)
+        assert np.isfinite(np.asarray(high)).all()
