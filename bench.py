@@ -139,7 +139,7 @@ def bench_end_to_end(det_cfg, sam_cfg, yolo_vars, sam_vars, per_dev_batch: int):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=4, help="per-device batch")
+    parser.add_argument("--batch", type=int, default=8, help="per-device batch")
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--smoke", action="store_true", help="tiny models for CI")
     parser.add_argument(

@@ -187,7 +187,9 @@ class MeshConfig:
     model_axis: str = "model"
     data_parallel: int = -1  # -1: all devices
     model_parallel: int = 1
-    batch_per_device: int = 4
+    # 38.9 img/s at 8 vs 37.3 at 4 on v5e with the fused trunk kernels
+    # (PERF.md); latency-sensitive single calls may prefer 4.
+    batch_per_device: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

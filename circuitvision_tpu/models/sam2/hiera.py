@@ -197,6 +197,56 @@ def _flash_or_einsum_attention(q, k, v, scale_dim: int) -> jax.Array:
     return jnp.einsum("bhqk,bkhd->bqhd", attn, v)
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder matching nn.Dense's names/shapes/initializers so
+    the fused-kernel path and the module path share one checkpoint tree."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (in_features, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class _AttnParams(nn.Module):
+    """qkv + proj parameters under the same scope nn.Dense would use
+    inside MultiScaleAttention (attn/qkv, attn/proj)."""
+
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        qkv = _DenseParams(self.dim_out * 3, name="qkv")(in_dim)
+        proj = _DenseParams(self.dim_out, name="proj")(self.dim_out)
+        return qkv, proj
+
+
+class _LNParams(nn.Module):
+    """scale/bias under the same scope TrunkLayerNorm/nn.LayerNorm would
+    use, with the padded-tail-zero scale init for true_dim < C."""
+
+    dim: int
+    true_dim: int = 0
+
+    @nn.compact
+    def __call__(self):
+        true = self.true_dim or self.dim
+        padded = self.dim
+
+        def scale_init(key, shape, dtype=jnp.float32):
+            return jnp.concatenate(
+                [jnp.ones((true,), dtype), jnp.zeros((padded - true,), dtype)]
+            )
+
+        scale = self.param("scale", scale_init, (padded,))
+        bias = self.param("bias", nn.initializers.zeros, (padded,))
+        return scale, bias
+
+
 class MultiScaleAttention(nn.Module):
     dim_out: int
     num_heads: int
@@ -242,6 +292,13 @@ class MultiScaleBlock(nn.Module):
     true_dim: int = 0
     true_dim_out: int = 0
     mlp_hidden: int = 0
+    # Set by Hiera for blocks running in layout-persistent windowed form
+    # ((B·nW, win, win, C), window_size==0): on TPU the whole attention
+    # half (LN1 + qkv + per-window attention + proj + residual) runs as
+    # one Pallas kernel (ops/pallas/window_attn) instead of XLA's
+    # LN/reshape/einsum chain. Parameters are shared with the module path
+    # (same names/shapes/inits), so this is purely an execution choice.
+    fused_window_attn: bool = False
 
     def _norm(self, true_dim: int, name: str):
         return TrunkLayerNorm(
@@ -250,46 +307,91 @@ class MultiScaleBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        shortcut = x
-        x = self._norm(self.true_dim, "norm1")(x)
-        # Stage transition is decided by the TRUE dims — padded widths can
-        # coincide across a transition (e.g. 32→64 both padding to 64).
-        if (self.true_dim or self.dim) != (self.true_dim_out or self.dim_out):
-            shortcut = _pool2x(nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(x))
-
-        window = self.window_size
-        pad_hw = None
-        hw = (x.shape[1], x.shape[2])
-        if window > 0:
-            x, pad_hw = window_partition(x, window)
-
         true_out = self.true_dim_out or self.dim_out
-        x = MultiScaleAttention(
-            self.dim_out, self.num_heads, q_pool=self.q_stride, dtype=self.dtype,
-            true_head_dim=true_out // self.num_heads,
-            name="attn",
-        )(x)
+        on_tpu = jax.default_backend() == "tpu"
+        use_fused_attn = (
+            self.fused_window_attn
+            and not self.q_stride
+            and self.dim == self.dim_out
+            and self.window_size == 0
+            and on_tpu
+        )
+        use_fused_mlp = on_tpu
+        if use_fused_attn:
+            from ...ops.pallas.window_attn import window_attn_block
 
-        if self.q_stride:
-            # Q was pooled: windows halve and the padded grid halves with
-            # them. (The reference recomputes padding from the shortcut
-            # dims, hieradet.py — equivalent for divisible feature maps,
-            # wrong when pre-pool padding occurred; deriving from the
-            # actual partitioned grid handles both.)
-            window = window // 2
-            hw = (shortcut.shape[1], shortcut.shape[2])
-            if pad_hw is not None:
-                pad_hw = (pad_hw[0] // 2, pad_hw[1] // 2)
+            lns, lnb = _LNParams(self.dim, self.true_dim, name="norm1")()
+            (wqkv, bqkv), (wproj, bproj) = _AttnParams(self.dim_out, name="attn")(
+                self.dim
+            )
+            b_, wh, ww, c = x.shape
+            x = window_attn_block(
+                x.reshape(b_, wh * ww, c),
+                lns, lnb, wqkv, bqkv, wproj, bproj,
+                heads=self.num_heads,
+                true_dim=self.true_dim or self.dim,
+                scale_dim=true_out // self.num_heads,
+            ).reshape(b_, wh, ww, c)
+        else:
+            shortcut = x
+            x = self._norm(self.true_dim, "norm1")(x)
+            # Stage transition is decided by the TRUE dims — padded widths
+            # can coincide across a transition (e.g. 32→64 both pad to 64).
+            if (self.true_dim or self.dim) != (self.true_dim_out or self.dim_out):
+                shortcut = _pool2x(
+                    nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(x)
+                )
+
+            window = self.window_size
+            pad_hw = None
+            hw = (x.shape[1], x.shape[2])
+            if window > 0:
+                x, pad_hw = window_partition(x, window)
+
+            x = MultiScaleAttention(
+                self.dim_out, self.num_heads, q_pool=self.q_stride, dtype=self.dtype,
+                true_head_dim=true_out // self.num_heads,
+                name="attn",
+            )(x)
+
+            if self.q_stride:
+                # Q was pooled: windows halve and the padded grid halves
+                # with them. (The reference recomputes padding from the
+                # shortcut dims, hieradet.py — equivalent for divisible
+                # feature maps, wrong when pre-pool padding occurred;
+                # deriving from the actual partitioned grid handles both.)
+                window = window // 2
+                hw = (shortcut.shape[1], shortcut.shape[2])
+                if pad_hw is not None:
+                    pad_hw = (pad_hw[0] // 2, pad_hw[1] // 2)
+                else:
+                    pad_h = (window - hw[0] % window) % window if window else 0
+                    pad_w = (window - hw[1] % window) % window if window else 0
+                    pad_hw = (hw[0] + pad_h, hw[1] + pad_w)
+
+            if window > 0:
+                x = window_unpartition(x, window, pad_hw, hw)
+
+            if use_fused_mlp:
+                x = shortcut + x
             else:
-                pad_h = (window - hw[0] % window) % window if window else 0
-                pad_w = (window - hw[1] % window) % window if window else 0
-                pad_hw = (hw[0] + pad_h, hw[1] + pad_w)
+                x, y = self._norm(self.true_dim_out, "norm2")(x, residual=shortcut)
 
-        if window > 0:
-            x = window_unpartition(x, window, pad_hw, hw)
-
-        x, y = self._norm(self.true_dim_out, "norm2")(x, residual=shortcut)
         hidden = self.mlp_hidden or int(self.dim_out * self.mlp_ratio)
+        if use_fused_mlp:
+            # LN2 + mlp0 + exact GELU + mlp1 + residual as one Pallas
+            # kernel (ops/pallas/mlp_block) — row-wise, so it applies in
+            # every layout (full, partitioned, post-q-pool).
+            from ...ops.pallas.mlp_block import mlp_block
+
+            lns, lnb = _LNParams(self.dim_out, self.true_dim_out, name="norm2")()
+            w0, b0 = _DenseParams(hidden, name="mlp_layers_0")(self.dim_out)
+            w1, b1 = _DenseParams(self.dim_out, name="mlp_layers_1")(hidden)
+            shp = x.shape
+            return mlp_block(
+                x.reshape(-1, self.dim_out), lns, lnb, w0, b0, w1, b1,
+                true_dim=self.true_dim_out or self.dim_out,
+            ).reshape(shp)
         y = nn.Dense(hidden, dtype=self.dtype, name="mlp_layers_0")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim_out, dtype=self.dtype, name="mlp_layers_1")(y)
@@ -415,6 +517,7 @@ class Hiera(nn.Module):
                     # plain attention over its win² tokens is the windowed
                     # attention of the full-layout formulation.
                     window_size=0 if part_window else window,
+                    fused_window_attn=bool(part_window),
                     dtype=self.dtype,
                     true_dim=true_dim if pm else 0,
                     true_dim_out=true_dim_out if pm else 0,

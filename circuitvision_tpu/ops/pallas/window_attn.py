@@ -1,0 +1,142 @@
+"""Fused windowed-attention block kernel for the Hiera trunk.
+
+One pallas_call computes the attention half of a Hiera MultiScaleBlock in
+layout-persistent windowed form (hiera.py: x is (B·nW, win, win, C) and
+each "image" IS one window):
+
+    out = x + proj(attention(qkv(LN1(x))))
+
+XLA runs this as LN convert→reduce chains, a qkv matmul, 5-D reshapes,
+batched small attention einsums and a proj matmul — each pass
+round-tripping the full activation through HBM. Here the x tile is read
+once, everything happens in VMEM (weights stay resident across grid
+steps), and the residual sum is written once.
+
+Numerics match hiera.MultiScaleAttention: LayerNorm statistics in f32
+(optionally over a true channel width < C for MXU-padded trunks,
+hiera.TrunkLayerNorm), scores q·kᵀ accumulated in f32, softmax(scale·s)
+in f32 with the softmax scale taken from the TRUE head dim, probabilities
+cast to the compute dtype for the p·v contraction with f32 accumulation.
+
+Grid: one program per GW windows. Static per-(window, head) inner loops —
+all slices static; T must be a multiple of 8 (sublane tile).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _kernel(
+    x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, out_ref,
+    *, gw, t, c, heads, true_dim, scale_dim, eps, dtype,
+):
+    rows = gw * t
+    hd = c // heads
+    x = x_ref[:].reshape(rows, c)
+
+    # LayerNorm (f32 stats over the true channel width).
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=-1, keepdims=True)
+    s2 = jnp.sum(xf * xf, axis=-1, keepdims=True)
+    mean = s1 / true_dim
+    var = jnp.maximum(s2 / true_dim - mean * mean, 0.0)
+    xn = ((xf - mean) * jax.lax.rsqrt(var + eps) * lns_ref[:] + lnb_ref[:]).astype(dtype)
+
+    # qkv projection: (rows, C) @ (C, 3C), f32 accumulation.
+    qkv = (
+        jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
+        + bqkv_ref[:].astype(jnp.float32)
+    ).astype(dtype)
+
+    scale = scale_dim**-0.5
+    window_outs = []
+    for w in range(gw):
+        r0 = w * t
+        head_outs = []
+        for h in range(heads):
+            q = qkv[r0 : r0 + t, h * hd : (h + 1) * hd]
+            k = qkv[r0 : r0 + t, c + h * hd : c + (h + 1) * hd]
+            v = qkv[r0 : r0 + t, 2 * c + h * hd : 2 * c + (h + 1) * hd]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            p = jax.nn.softmax(s * scale, axis=-1).astype(dtype)
+            head_outs.append(
+                jnp.dot(p, v, preferred_element_type=jnp.float32).astype(dtype)
+            )
+        # lane-aligned assembly: heads concat to (T, C), windows to (rows, C)
+        window_outs.append(jnp.concatenate(head_outs, axis=1))
+    attn_out = jnp.concatenate(window_outs, axis=0) if gw > 1 else window_outs[0]
+
+    proj = (
+        jnp.dot(attn_out, wproj_ref[:], preferred_element_type=jnp.float32)
+        + bproj_ref[:].astype(jnp.float32)
+    ).astype(dtype)
+    out_ref[:] = (x + proj).reshape(gw, t, c)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("heads", "true_dim", "scale_dim", "gw", "eps", "interpret"),
+)
+def window_attn_block(
+    x: jax.Array,  # (W_total, T, C) — each leading entry is one window
+    ln_scale: jax.Array,  # (C,)
+    ln_bias: jax.Array,  # (C,)
+    wqkv: jax.Array,  # (C, 3C), columns ordered [q|k|v] × heads × head_dim
+    bqkv: jax.Array,  # (3C,)
+    wproj: jax.Array,  # (C, C)
+    bproj: jax.Array,  # (C,)
+    heads: int,
+    true_dim: int = 0,
+    scale_dim: int = 0,
+    gw: int = 0,
+    eps: float = 1e-6,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused `x + proj(attn(qkv(LN(x))))` over independent windows."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    wt, t, c = x.shape
+    true_dim = true_dim or c
+    scale_dim = scale_dim or true_dim // heads
+    if not gw:
+        # ~1024 rows per program (best measured at C=576), with the
+        # static (window × head) attention unroll capped so the program
+        # compiles quickly. The scoped-VMEM limit is raised below — the
+        # default 16 MB limit is 0.3 MB short of this tile at C=576.
+        gw = max(1, min(wt, 1024 // t, max(1, 48 // heads)))
+    while wt % gw:
+        gw -= 1
+    dtype = x.dtype
+
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            gw=gw, t=t, c=c, heads=heads, true_dim=true_dim,
+            scale_dim=scale_dim, eps=eps, dtype=dtype,
+        ),
+        out_shape=jax.ShapeDtypeStruct(x.shape, dtype),
+        grid=(wt // gw,),
+        in_specs=[
+            pl.BlockSpec((gw, t, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            wspec, wspec, wspec, wspec, wspec, wspec,
+        ],
+        out_specs=pl.BlockSpec((gw, t, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        x,
+        ln_scale.astype(jnp.float32),
+        ln_bias.astype(jnp.float32),
+        wqkv.astype(dtype),
+        bqkv,
+        wproj.astype(dtype),
+        bproj,
+    )
+    return out

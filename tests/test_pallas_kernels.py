@@ -167,3 +167,80 @@ class TestFusedLayerNorm:
         resid, y2 = m.apply(v, x, residual=x)
         assert resid.shape == x.shape and y2.shape == x.shape
         assert np.allclose(np.asarray(resid), 2 * np.asarray(x))
+
+
+class TestWindowAttnBlock:
+    """ops/pallas/window_attn vs the MultiScaleAttention einsum math."""
+
+    def test_matches_einsum_reference(self):
+        from circuitvision_tpu.ops.pallas.window_attn import window_attn_block
+
+        rng = np.random.default_rng(0)
+        WT, T, C, H = 8, 16, 48, 2
+        hd = C // H
+        x = jnp.asarray(rng.standard_normal((WT, T, C)), jnp.float32)
+        lns = jnp.asarray(rng.standard_normal((C,)), jnp.float32)
+        lnb = jnp.asarray(rng.standard_normal((C,)), jnp.float32)
+        wqkv = jnp.asarray(rng.standard_normal((C, 3 * C)) * 0.1, jnp.float32)
+        bqkv = jnp.asarray(rng.standard_normal((3 * C,)) * 0.05, jnp.float32)
+        wproj = jnp.asarray(rng.standard_normal((C, C)) * 0.1, jnp.float32)
+        bproj = jnp.asarray(rng.standard_normal((C,)) * 0.05, jnp.float32)
+
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, -1, keepdims=True)
+        var = jnp.maximum(jnp.mean(xf * xf, -1, keepdims=True) - mean * mean, 0.0)
+        xn = (xf - mean) * jax.lax.rsqrt(var + 1e-6) * lns + lnb
+        qkv = (xn @ wqkv + bqkv).reshape(WT, T, 3, H, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        attn = jax.nn.softmax(
+            jnp.einsum("bqhd,bkhd->bhqk", q, k) * (hd ** -0.5), axis=-1
+        )
+        o = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(WT, T, C)
+        ref = x + (o @ wproj + bproj)
+
+        got = window_attn_block(
+            x, lns, lnb, wqkv, bqkv, wproj, bproj, heads=H, gw=4, interpret=True
+        )
+        err = float(jnp.abs(ref - got).max())
+        assert err / float(jnp.abs(ref).max()) < 1e-5
+
+    def test_hiera_fused_flag_params_match_module_path(self):
+        """A MultiScaleBlock with fused_window_attn declares the same
+        parameter tree as the module path (checkpoint compatibility)."""
+        from circuitvision_tpu.models.sam2.hiera import MultiScaleBlock
+
+        x = jnp.zeros((4, 4, 4, 32), jnp.float32)  # 4 windows of 4x4, C=32
+        kw = dict(dim=32, dim_out=32, num_heads=2)
+        v_mod = MultiScaleBlock(**kw).init(jax.random.PRNGKey(0), x)
+        v_fused = MultiScaleBlock(**kw, fused_window_attn=True).init(
+            jax.random.PRNGKey(0), x
+        )
+        shapes = lambda t: jax.tree.map(lambda a: a.shape, t)
+        assert shapes(v_mod["params"]) == shapes(v_fused["params"])
+
+
+class TestMlpBlock:
+    """ops/pallas/mlp_block vs the XLA MLP-half formulation."""
+
+    def test_matches_reference_with_chunking(self):
+        from circuitvision_tpu.ops.pallas.mlp_block import mlp_block
+
+        rng = np.random.default_rng(0)
+        T, C, HID = 100, 48, 192
+        x = jnp.asarray(rng.standard_normal((T, C)), jnp.float32)
+        lns = jnp.asarray(rng.standard_normal((C,)), jnp.float32)
+        lnb = jnp.asarray(rng.standard_normal((C,)), jnp.float32)
+        w0 = jnp.asarray(rng.standard_normal((C, HID)) * 0.1, jnp.float32)
+        b0 = jnp.asarray(rng.standard_normal((HID,)) * 0.05, jnp.float32)
+        w1 = jnp.asarray(rng.standard_normal((HID, C)) * 0.1, jnp.float32)
+        b1 = jnp.asarray(rng.standard_normal((C,)) * 0.05, jnp.float32)
+
+        mean = jnp.mean(x, -1, keepdims=True)
+        var = jnp.maximum(jnp.mean(x * x, -1, keepdims=True) - mean * mean, 0.0)
+        xn = (x - mean) * jax.lax.rsqrt(var + 1e-6) * lns + lnb
+        ref = x + (jax.nn.gelu(xn @ w0 + b0, approximate=False) @ w1 + b1)
+
+        # 3 hidden chunks + a row remainder exercises both grid dims
+        got = mlp_block(x, lns, lnb, w0, b0, w1, b1,
+                        row_tile=32, hidden_chunk=64, interpret=True)
+        assert float(jnp.abs(ref - got).max()) < 1e-4
