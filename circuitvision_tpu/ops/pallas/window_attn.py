@@ -52,24 +52,39 @@ def _kernel(
     ).astype(dtype)
 
     scale = scale_dim**-0.5
-    window_outs = []
-    for w in range(gw):
-        r0 = w * t
+    # Sub-window merging: windows shorter than the 128-sublane MXU tile
+    # (stage 1/2: 64/16 tokens) are packed nm-at-a-time into one
+    # 128-row attention tile with a block-diagonal mask — one (128, 128)
+    # score matmul instead of nm tiny MXU-starved ones. The extra masked
+    # score FLOPs are negligible next to the qkv projection (measured:
+    # stage-2 blocks 2.95 → ~1 ms).
+    nm = max(1, 128 // t) if gw % max(1, 128 // t) == 0 else 1
+    rows_g = nm * t
+    mask_bias = None
+    if nm > 1:
+        ri = jax.lax.broadcasted_iota(jnp.int32, (rows_g, rows_g), 0) // t
+        cj = jax.lax.broadcasted_iota(jnp.int32, (rows_g, rows_g), 1) // t
+        mask_bias = jnp.where(ri == cj, 0.0, -1e30).astype(jnp.float32)
+    group_outs = []
+    for g in range(gw // nm):
+        r0 = g * rows_g
         head_outs = []
         for h in range(heads):
-            q = qkv[r0 : r0 + t, h * hd : (h + 1) * hd]
-            k = qkv[r0 : r0 + t, c + h * hd : c + (h + 1) * hd]
-            v = qkv[r0 : r0 + t, 2 * c + h * hd : 2 * c + (h + 1) * hd]
+            q = qkv[r0 : r0 + rows_g, h * hd : (h + 1) * hd]
+            k = qkv[r0 : r0 + rows_g, c + h * hd : c + (h + 1) * hd]
+            v = qkv[r0 : r0 + rows_g, 2 * c + h * hd : 2 * c + (h + 1) * hd]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            p = jax.nn.softmax(s * scale, axis=-1).astype(dtype)
+            ) * scale
+            if mask_bias is not None:
+                s = s + mask_bias
+            p = jax.nn.softmax(s, axis=-1).astype(dtype)
             head_outs.append(
                 jnp.dot(p, v, preferred_element_type=jnp.float32).astype(dtype)
             )
-        # lane-aligned assembly: heads concat to (T, C), windows to (rows, C)
-        window_outs.append(jnp.concatenate(head_outs, axis=1))
-    attn_out = jnp.concatenate(window_outs, axis=0) if gw > 1 else window_outs[0]
+        # lane-aligned assembly: heads concat to (rows_g, C), groups to rows
+        group_outs.append(jnp.concatenate(head_outs, axis=1))
+    attn_out = jnp.concatenate(group_outs, axis=0) if len(group_outs) > 1 else group_outs[0]
 
     proj = (
         jnp.dot(attn_out, wproj_ref[:], preferred_element_type=jnp.float32)
@@ -105,11 +120,17 @@ def window_attn_block(
     true_dim = true_dim or c
     scale_dim = scale_dim or true_dim // heads
     if not gw:
-        # ~1024 rows per program (best measured at C=576), with the
-        # static (window × head) attention unroll capped so the program
-        # compiles quickly. The scoped-VMEM limit is raised below — the
-        # default 16 MB limit is 0.3 MB short of this tile at C=576.
-        gw = max(1, min(wt, 1024 // t, max(1, 48 // heads)))
+        # Rows per program: 1024 (best measured at C=576) shrunk when the
+        # ~30 B/row·channel of live intermediates would exceed the raised
+        # 32 MB scoped-VMEM limit (C=1152 → 512 rows). The static
+        # (group × head) attention unroll is then capped so the program
+        # compiles quickly — sub-window merging (see kernel) makes a
+        # group one 128-row tile, so small windows no longer explode it.
+        rows_max = min(1024, max(t, 20_000_000 // (30 * c) // 128 * 128))
+        gw = max(1, min(wt, rows_max // t))
+        nm_ = max(1, 128 // t)
+        while gw > nm_ and max(1, gw // nm_) * heads > 64:
+            gw //= 2
     while wt % gw:
         gw -= 1
     dtype = x.dtype

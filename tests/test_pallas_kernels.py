@@ -219,6 +219,32 @@ class TestWindowAttnBlock:
         assert shapes(v_mod["params"]) == shapes(v_fused["params"])
 
 
+    def test_merged_subwindow_path(self):
+        """gw divisible by nm=128//T exercises the block-diagonal-mask
+        merged attention tiles; result must equal per-window attention."""
+        from circuitvision_tpu.ops.pallas.window_attn import window_attn_block
+
+        rng = np.random.default_rng(7)
+        WT, T, C, H = 8, 16, 48, 2
+        hd = C // H
+        x = jnp.asarray(rng.standard_normal((WT, T, C)), jnp.float32)
+        lns = jnp.asarray(rng.standard_normal((C,)), jnp.float32)
+        lnb = jnp.asarray(rng.standard_normal((C,)), jnp.float32)
+        wqkv = jnp.asarray(rng.standard_normal((C, 3 * C)) * 0.1, jnp.float32)
+        bqkv = jnp.asarray(rng.standard_normal((3 * C,)) * 0.05, jnp.float32)
+        wproj = jnp.asarray(rng.standard_normal((C, C)) * 0.1, jnp.float32)
+        bproj = jnp.asarray(rng.standard_normal((C,)) * 0.05, jnp.float32)
+
+        per_window = window_attn_block(
+            x, lns, lnb, wqkv, bqkv, wproj, bproj, heads=H, gw=1, interpret=True
+        )
+        merged = window_attn_block(
+            x, lns, lnb, wqkv, bqkv, wproj, bproj, heads=H, gw=8, interpret=True
+        )
+        err = float(jnp.abs(per_window - merged).max())
+        assert err / float(jnp.abs(per_window).max()) < 1e-5
+
+
 class TestMlpBlock:
     """ops/pallas/mlp_block vs the XLA MLP-half formulation."""
 
