@@ -86,9 +86,13 @@ def mlp_block(
     true_dim = true_dim or c
     dtype = x.dtype
     if not hidden_chunk:
-        # cap one weight chunk pair at ~5 MB bf16
-        hidden_chunk = min(hidden, max(256, (5_000_000 // (2 * c * 2)) // 256 * 256))
-        while hidden % hidden_chunk:
+        # Largest divisor of `hidden` whose W0/W1 chunk pair fits a
+        # ~11 MB bf16 budget — fewer chunks win decisively (stage-3:
+        # whole-hidden 2.7 ms vs 256-chunks 3.6 ms standalone; each
+        # extra chunk pass re-streams the row tile and accumulator).
+        cap = max(128, 11_000_000 // (2 * c * 2))
+        hidden_chunk = hidden
+        while hidden_chunk > cap and hidden_chunk % 2 == 0:
             hidden_chunk //= 2
     n_chunks = hidden // hidden_chunk
     if not row_tile:
@@ -124,6 +128,7 @@ def mlp_block(
             pltpu.VMEM((row_tile, c), dtype),
             pltpu.VMEM((row_tile, c), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(
         x,

@@ -482,6 +482,23 @@ def _batched_stage_a(cfg: TopologyConfig, in_h: int, in_w: int, sub_bucket: int)
     return jax.jit(program), (new_h, new_w)
 
 
+@functools.lru_cache(maxsize=64)
+def _pack_program(h: int, w: int):
+    """Jitted bit-packer: (h, w) u8 raster → (h, ceil(w/8)) u8 rows in
+    np.unpackbits order — the analysis raster is the only sizable fetch
+    of the host-CC path and links to remote chips are slow."""
+    w8 = (w + 7) // 8
+
+    def pack(e):
+        m = (e > 0).astype(jnp.uint32)
+        padded = jnp.pad(m, ((0, 0), (0, w8 * 8 - w)))
+        bits = padded.reshape(h, w8, 8)
+        weights = jnp.asarray((128, 64, 32, 16, 8, 4, 2, 1), jnp.uint32)
+        return (bits * weights).sum(-1).astype(jnp.uint8)
+
+    return jax.jit(pack)
+
+
 @functools.lru_cache(maxsize=32)
 def _batched_stage_b(cfg: TopologyConfig, batch: int, pad_w: int, comp_bucket: int):
     """Chunk-wide CC/stats/touch: ONE dispatch + ONE fetch for a whole
@@ -505,6 +522,7 @@ def extract_nodes_batched(
     bboxes_list: Sequence[Sequence[BBox]],
     cfg: Optional[TopologyConfig] = None,
     pad_to: Optional[int] = None,
+    device_cc: bool = False,
 ) -> list[NodeExtraction]:
     """Node extraction over a whole batch with TWO device round trips
     (stage-A dispatches are fetch-free) instead of 2×B.
@@ -513,7 +531,14 @@ def extract_nodes_batched(
         device-resident jax arrays (e.g. straight from the batched SAM2
         mask program, avoiding a host round trip entirely).
     pad_to: pad the batch dim to this size so chunked callers reuse one
-        compiled program for partial final chunks.
+        compiled program for partial final chunks (device_cc path only).
+    device_cc: run the CC/stats/touch stage on device (the original
+        batched formulation). Default False: raster prep (subtraction,
+        resize, morphology) stays on device, then the binarized analysis
+        raster comes back bit-packed and CC/stats/touch run at C speed on
+        host (topology/host_cc.py) — the device CC's gather/scatter
+        fixpoint costs ~100 ms/image on v5e vs ~10 ms/image host, and was
+        the single largest cost of the end-to-end path (PERF.md).
 
     Produces the same nodes as per-image extract_nodes (parity-tested);
     viz artifacts (emptied/enhanced/label images) are not materialized —
@@ -554,6 +579,35 @@ def extract_nodes_batched(
         metas.append(
             (resized_bboxes, comp_indices, comp_boxes, comp_thr, comp_valid, new_w)
         )
+
+    if not device_cc:
+        from .host_cc import label_touch_stage_host
+
+        packed_dev = [
+            _pack_program(e.shape[0], e.shape[1])(e) for e in enhanced
+        ]
+        packed_host = jax.device_get(packed_dev)
+        results = []
+        for packed, (resized_bboxes, comp_indices, cb, ct, cv, new_w) in zip(
+            packed_host, metas
+        ):
+            fg = np.unpackbits(packed, axis=1)[:, :new_w].astype(bool)
+            uniq, centroids, rel_area, keep, touch = label_touch_stage_host(
+                fg, float(new_w), cfg, cb, ct, cv
+            )
+            touch = touch[:, : len(comp_indices)]
+            if not comp_indices or not keep.any():
+                results.append(NodeExtraction([], None, None, None, resized_bboxes))
+                continue
+            nodes, raw_count = _assemble_nodes(
+                resized_bboxes, comp_indices, uniq, centroids, rel_area, keep, touch
+            )
+            results.append(
+                NodeExtraction(
+                    nodes, None, None, None, resized_bboxes, raw_node_count=raw_count
+                )
+            )
+        return results
 
     pad_w = max(((e.shape[1] + 127) // 128) * 128 for e in enhanced)
     batch = max(pad_to or 0, n)

@@ -262,3 +262,56 @@ class TestNodeDebugViz:
         ex = extract_nodes(mask, boxes, fetch_viz=False)
         assert ex.contour_viz is None and ex.connection_viz is None
         assert len(ex.nodes) == 3
+
+
+class TestHostCCParity:
+    """topology/host_cc.label_touch_stage_host vs the device stage."""
+
+    def test_stage_parity_on_synthetic_rasters(self):
+        import jax.numpy as jnp
+        from circuitvision_tpu.core.config import TopologyConfig
+        from circuitvision_tpu.topology.host_cc import label_touch_stage_host
+        from circuitvision_tpu.topology.nodes import _label_touch_stage
+
+        cfg = TopologyConfig()
+        rng = np.random.default_rng(0)
+        h, w = 120, 160
+        fg = np.zeros((h, w), bool)
+        # wires: a loop + a dangling stub + salt noise specks
+        fg[20:23, 10:150] = True
+        fg[100:103, 10:150] = True
+        fg[20:103, 10:13] = True
+        fg[20:103, 147:150] = True
+        fg[60:62, 60:100] = True
+        for _ in range(30):
+            y, x = rng.integers(0, h), rng.integers(0, w)
+            fg[y, x] = True
+
+        comp_boxes = np.asarray(
+            [[5, 50, 18, 80], [140, 50, 155, 80], [70, 15, 95, 30], [0, 0, 0, 0]],
+            np.float32,
+        )
+        comp_thr = np.asarray([6, 20, 8, 6], np.float32)
+        comp_valid = np.asarray([True, True, True, False])
+
+        uniq_d, cen_d, rel_d, keep_d, touch_d = map(
+            np.asarray,
+            (lambda s: (s[1].labels, s[1].centroid, s[2], s[3], s[4]))(
+                _label_touch_stage(
+                    jnp.asarray(fg), jnp.float32(w), cfg,
+                    jnp.asarray(comp_boxes), jnp.asarray(comp_thr),
+                    jnp.asarray(comp_valid),
+                )
+            ),
+        )
+        uniq_h, cen_h, rel_h, keep_h, touch_h = label_touch_stage_host(
+            fg, float(w), cfg, comp_boxes, comp_thr, comp_valid
+        )
+        np.testing.assert_array_equal(uniq_d, uniq_h)
+        np.testing.assert_array_equal(keep_d, keep_h)
+        np.testing.assert_array_equal(touch_d, touch_h)
+        # sentinel padding rows are unused downstream; the device computes
+        # the background pseudo-label's centroid there, the host zeros it
+        valid = uniq_h != fg.size
+        np.testing.assert_allclose(cen_d[valid], cen_h[valid], atol=1e-3)
+        np.testing.assert_allclose(rel_d[valid], rel_h[valid], atol=1e-6)
