@@ -58,10 +58,10 @@ logger = logging.getLogger(__name__)
 # Bit weights matching np.unpackbits' big-endian bit order.
 _BIT_WEIGHTS = (128, 64, 32, 16, 8, 4, 2, 1)
 
-#: Max images per batched node-extraction program. Batching exists to
-#: amortize host↔device round trips; past ~4 images the RTT savings are
-#: marginal while the vmapped CC program's compile time (minutes on a
-#: slow build host) and peak memory grow linearly.
+#: Max images per batched node-extraction call when the DEVICE CC path is
+#: in use (the vmapped CC program's compile time and peak memory grow
+#: linearly with batch). The default host-CC path has no such constraint
+#: and takes whole chunks.
 _EXTRACT_SUB_BATCH = 4
 
 
@@ -389,7 +389,7 @@ class BatchedPipeline:
         if not idx:
             return
         try:
-            sub = _EXTRACT_SUB_BATCH
+            sub = len(idx)  # host-CC path: one call per chunk
             for s0 in range(0, len(idx), sub):
                 group = idx[s0 : s0 + sub]
                 extractions = extract_nodes_batched(

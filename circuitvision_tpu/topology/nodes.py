@@ -465,6 +465,8 @@ def _batched_stage_a(cfg: TopologyConfig, in_h: int, in_w: int, sub_bucket: int)
     """
     new_h, new_w = cfg.resize_height, int(cfg.resize_height * (in_w / in_h))
 
+    w8 = (new_w + 7) // 8
+
     def program(mask_u8, sub_boxes, sub_valid):
         ys = jnp.arange(in_h, dtype=jnp.float32)[:, None, None]
         xs = jnp.arange(in_w, dtype=jnp.float32)[None, :, None]
@@ -477,26 +479,17 @@ def _batched_stage_a(cfg: TopologyConfig, in_h: int, in_w: int, sub_bucket: int)
         ).any(-1)
         emptied = jnp.where(in_box, 0.0, mask_u8.astype(jnp.float32))
         resized = resize_bilinear(emptied, (new_h, new_w))
-        return _enhance_chain(resized, cfg)
+        enhanced = _enhance_chain(resized, cfg)
+        # Bit-packed copy for the host-CC path (np.unpackbits order) —
+        # fused here so the host path costs ONE dispatch per image.
+        m = (enhanced > 0).astype(jnp.uint32)
+        padded = jnp.pad(m, ((0, 0), (0, w8 * 8 - new_w)))
+        bits = padded.reshape(new_h, w8, 8)
+        weights = jnp.asarray((128, 64, 32, 16, 8, 4, 2, 1), jnp.uint32)
+        packed = (bits * weights).sum(-1).astype(jnp.uint8)
+        return enhanced, packed
 
     return jax.jit(program), (new_h, new_w)
-
-
-@functools.lru_cache(maxsize=64)
-def _pack_program(h: int, w: int):
-    """Jitted bit-packer: (h, w) u8 raster → (h, ceil(w/8)) u8 rows in
-    np.unpackbits order — the analysis raster is the only sizable fetch
-    of the host-CC path and links to remote chips are slow."""
-    w8 = (w + 7) // 8
-
-    def pack(e):
-        m = (e > 0).astype(jnp.uint32)
-        padded = jnp.pad(m, ((0, 0), (0, w8 * 8 - w)))
-        bits = padded.reshape(h, w8, 8)
-        weights = jnp.asarray((128, 64, 32, 16, 8, 4, 2, 1), jnp.uint32)
-        return (bits * weights).sum(-1).astype(jnp.uint8)
-
-    return jax.jit(pack)
 
 
 @functools.lru_cache(maxsize=32)
@@ -550,6 +543,7 @@ def extract_nodes_batched(
         return []
 
     enhanced = []
+    packed_rasters = []
     metas = []  # (resized_bboxes, comp_indices, comp arrays, new_w)
     comp_bucket = max(
         _comp_bucket(
@@ -570,7 +564,11 @@ def extract_nodes_batched(
         prog_a, (new_h, new_w) = _batched_stage_a(
             cfg, in_h, in_w, sub_boxes.shape[0]
         )
-        enhanced.append(prog_a(jnp.asarray(mask), jnp.asarray(sub_boxes), jnp.asarray(sub_valid)))
+        enh, packed = prog_a(
+            jnp.asarray(mask), jnp.asarray(sub_boxes), jnp.asarray(sub_valid)
+        )
+        enhanced.append(enh)
+        packed_rasters.append(packed)
         sx, sy = new_w / in_w, new_h / in_h
         resized_bboxes = [b.scaled(sx, sy) for b in bboxes]
         comp_indices, comp_boxes, comp_thr, comp_valid = _component_arrays(
@@ -583,10 +581,7 @@ def extract_nodes_batched(
     if not device_cc:
         from .host_cc import label_touch_stage_host
 
-        packed_dev = [
-            _pack_program(e.shape[0], e.shape[1])(e) for e in enhanced
-        ]
-        packed_host = jax.device_get(packed_dev)
+        packed_host = jax.device_get(packed_rasters)
         results = []
         for packed, (resized_bboxes, comp_indices, cb, ct, cv, new_w) in zip(
             packed_host, metas
