@@ -147,7 +147,7 @@ def enhance_lines_fused(
         functools.partial(_kernel, taps=taps, tile_h=tile_h, img_h=h, img_w=w),
         out_shape=jax.ShapeDtypeStruct((padded_h, padded_w), jnp.float32),
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((tile_h, padded_w), lambda i: (i, 0)),
         scratch_shapes=[
             pltpu.VMEM((tile_h + 2 * HALO, padded_w), jnp.float32),

@@ -16,10 +16,12 @@ This formulation keeps the program small and static:
 - the 11 distinct lane (column) offsets are materialized ONCE per tile as
   a lane-shift stack (static slices only — Mosaic's dynamic lane offsets
   are the expensive/fragile case);
-- each branch then runs a `fori_loop` over its k² taps, reading the tap
-  weight from SMEM at a dynamic index and the shifted window via a
-  dynamic *sublane* slice + dynamic leading-dim index, both of which
-  Mosaic lowers cheaply.
+- per (branch, dy) the lane taps accumulate over the FULL aligned band
+  into scratch refs (mutation guarantees storage reuse; as SSA values the
+  unrolled chains kept ~34 MB live and spilled), and the one unaligned
+  sublane slice per (branch, dy, channel) folds the band into the output
+  window — unaligned slices cost a full-tile sublane-rotate relayout and
+  must stay out of the inner loop.
 
 GELU is the erf-based exact form (torch nn.GELU default); Mosaic lowers
 neither erf nor erfc, so erf uses the Abramowitz–Stegun 7.1.26 polynomial
@@ -159,7 +161,7 @@ def refinement_fused(
         functools.partial(_kernel, tile_h=tile_h, width=padded_w),
         out_shape=jax.ShapeDtypeStruct((b, padded_h, padded_w), jnp.float32),
         grid=(b, n_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + [smem() for _ in range(10)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [smem() for _ in range(10)],
         out_specs=pl.BlockSpec((1, tile_h, padded_w), lambda bi, i: (bi, i, 0)),
         scratch_shapes=[
             pltpu.VMEM((tile_h + 2 * HALO, padded_w + 128), jnp.float32),
