@@ -111,8 +111,8 @@ def bench_end_to_end(det_cfg, sam_cfg, yolo_vars, sam_vars, per_dev_batch: int):
             super()._detect_bboxes(chunk)  # full device detect + fetch cost
             return [copy.deepcopy(gt_by_shape[img.shape].boxes) for img in chunk]
 
-        def _device_phase(self, chunk):
-            staged = super()._device_phase(chunk)  # incl. real mask fetch
+        def _segment_phase(self, staged):
+            staged = super()._segment_phase(staged)  # incl. real mask fetch
             for st in staged:
                 gt = gt_by_shape[st.image.shape]
                 mask = gt.wire_mask
@@ -121,12 +121,22 @@ def bench_end_to_end(det_cfg, sam_cfg, yolo_vars, sam_vars, per_dev_batch: int):
                     x0, y0, x1, y1 = info.window
                     mask = mask[y0:y1, x0:x1]
                 st.mask = mask
-                st.mask_dev = None  # topology must see the GT mask
+                # Topology must see the GT mask. Production hands the
+                # topology stage a device-resident mask (the finalize
+                # program's second output); mirror that residency so
+                # stage-A costs stay representative (upload overlapped
+                # here in the segment thread, as the real fetch is).
+                st.mask_dev = jax.device_put(mask)
+            # Re-run the stage-A raster prep on the GT masks (the real
+            # prep already ran — and is still paid — inside super()).
+            self._prepare_packed_rasters(staged)
             return staged
 
     pipeline = OraclePipeline(analyzer)
     images = [c.image for c in circuits]
-    n_images = pipeline.batch_size * 6
+    # Enough chunks that the 3-stage pipeline's fill/drain (~2 chunks of
+    # SAM2) amortizes; this measures steady-state throughput.
+    n_images = pipeline.batch_size * 10
     workload = [images[i % len(images)] for i in range(n_images)]
 
     pipeline.analyze_many(workload[: pipeline.batch_size])  # warmup/compile

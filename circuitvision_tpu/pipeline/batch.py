@@ -28,6 +28,7 @@ that feeds the netlist is identical.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 import queue
 import threading
@@ -65,6 +66,28 @@ _BIT_WEIGHTS = (128, 64, 32, 16, 8, 4, 2, 1)
 _EXTRACT_SUB_BATCH = 4
 
 
+@functools.lru_cache(maxsize=128)
+def _det_prep_program(h: int, w: int, img_size: int):
+    """Jitted uint8 image → normalized letterbox canvas, cached per input
+    shape. Run eagerly this chain is ~6 Python-dispatched ops per image —
+    at ~0.5 ms of host overhead each on a 1-core host that alone was
+    ~16 ms/img of the batched detect stage; jitted it is ONE async
+    dispatch (~0.03 ms)."""
+
+    def prep(img_u8):
+        canvas, _s, _p = letterbox(img_u8, img_size)
+        return canvas / 255.0
+
+    return jax.jit(prep)
+
+
+@functools.lru_cache(maxsize=128)
+def _seg_prep_program(h: int, w: int, resolution: int):
+    """Jitted uint8 crop → SAM2-normalized (res, res, 3), cached per crop
+    shape (same rationale as _det_prep_program)."""
+    return jax.jit(lambda img_u8: sam2_preprocess(img_u8, resolution))
+
+
 @dataclasses.dataclass
 class BatchOutputs:
     """Per-batch device outputs, already on host."""
@@ -92,6 +115,14 @@ class _Staged:
     #: topology stage without a host→device re-upload. None when the mask
     #: came from the host (classical fallback) or was overridden.
     mask_dev: Optional[object] = None
+    #: stage-A analysis raster prepared in the segment thread with an
+    #: async host copy already in flight (topology.nodes.PackedRaster) —
+    #: the consumer's node extraction then skips its own device round
+    #: trip (~6 ms/img of d2h tunnel time off the critical path).
+    packed_raster: Optional[object] = None
+    #: bit-packed full-res mask with an async host copy in flight; the
+    #: consumer materializes `mask` from it (same overlap rationale).
+    mask_packed_dev: Optional[object] = None
 
 
 class BatchedPipeline:
@@ -255,8 +286,7 @@ class BatchedPipeline:
         for img, img_dev in zip(chunk, imgs_dev):
             h, w = img.shape[:2]
             scale = min(det.img_size / h, det.img_size / w)
-            canvas, _s, _p = letterbox(img_dev, det.img_size)
-            canvases.append(canvas / 255.0)
+            canvases.append(_det_prep_program(h, w, det.img_size)(img_dev))
             pad_y = (det.img_size - int(round(h * scale))) // 2
             pad_x = (det.img_size - int(round(w * scale))) // 2
             meta.append((scale, pad_x, pad_y, w, h))
@@ -268,53 +298,58 @@ class BatchedPipeline:
         )
         out: list[list[BBox]] = []
         for i, (scale, px, py, w, h) in enumerate(meta):
-            bxs = []
-            for d in range(det.max_detections):
-                if not valid[i, d]:
-                    continue
-                # unletterbox_boxes (models/yolo/decode.py:105) on host
-                x0 = min(max((float(boxes[i, d, 0]) - px) / scale, 0.0), w)
-                y0 = min(max((float(boxes[i, d, 1]) - py) / scale, 0.0), h)
-                x1 = min(max((float(boxes[i, d, 2]) - px) / scale, 0.0), w)
-                y1 = min(max((float(boxes[i, d, 3]) - py) / scale, 0.0), h)
-                bxs.append(
-                    BBox(
-                        class_name=taxonomy.ID_TO_NAME.get(
-                            int(classes[i, d]), "unknown"
-                        ),
-                        confidence=float(scores[i, d]),
-                        xmin=round(x0),
-                        ymin=round(y0),
-                        xmax=round(x1),
-                        ymax=round(y1),
-                        class_id=int(classes[i, d]),
-                    )
+            # Vectorized unletterbox (models/yolo/decode.py:105 semantics)
+            # over only the valid rows — a Python walk of all
+            # max_detections rows costs several ms/img on a 1-core host.
+            vi = np.nonzero(valid[i])[0]
+            b = boxes[i, vi].astype(np.float64)
+            x0 = np.clip((b[:, 0] - px) / scale, 0.0, w)
+            y0 = np.clip((b[:, 1] - py) / scale, 0.0, h)
+            x1 = np.clip((b[:, 2] - px) / scale, 0.0, w)
+            y1 = np.clip((b[:, 3] - py) / scale, 0.0, h)
+            bxs = [
+                BBox(
+                    class_name=taxonomy.ID_TO_NAME.get(int(classes[i, d]), "unknown"),
+                    confidence=float(scores[i, d]),
+                    xmin=round(float(x0[j])),
+                    ymin=round(float(y0[j])),
+                    xmax=round(float(x1[j])),
+                    ymax=round(float(y1[j])),
+                    class_id=int(classes[i, d]),
                 )
+                for j, d in enumerate(vi)
+            ]
             out.append(
                 geometry.nms_by_confidence(bxs, iou_threshold=self.cfg.nms.iou_threshold)
             )
         return out
 
-    def _device_phase(self, chunk: Sequence[np.ndarray]) -> list[_Staged]:
-        """Stages [1]-[2b] for one chunk: detect → crop → SAM2 on crops."""
+    def _detect_crop_phase(self, chunk: Sequence[np.ndarray]) -> list[_Staged]:
+        """Stages [1]-[2a] for one chunk: detect → cluster crop."""
         per_image = self._detect_bboxes(chunk)
 
         staged: list[_Staged] = []
-        seg_inputs = []
         for img, nms_boxes in zip(chunk, per_image):
             crop, bboxes, info = crop_image_and_adjust_bboxes(
                 img, nms_boxes, self.cfg.crop
             )
             staged.append(_Staged(img, crop, nms_boxes, bboxes, info, None))
-            if self._segment is not None:
-                seg_inputs.append(
-                    sam2_preprocess(jnp.asarray(crop), self.cfg.sam2.resolution)
-                )
+        return staged
 
+    def _segment_phase(self, staged: list[_Staged]) -> list[_Staged]:
+        """Stage [2b] for one chunk: SAM2 on the crops (or classical
+        fallback), masks fetched bit-packed."""
         logits = None
         if self._segment is not None:
             try:
+                # One overlapped upload for all crops, then one jitted prep
+                # dispatch per crop shape.
                 s = self.cfg.sam2.resolution
+                crops_dev = jax.device_put([st.crop for st in staged])
+                seg_inputs = [
+                    _seg_prep_program(cd.shape[0], cd.shape[1], s)(cd)
+                    for cd in crops_dev
+                ]
                 while len(seg_inputs) < self.batch_size:
                     seg_inputs.append(jnp.zeros((s, s, 3), jnp.float32))
                 seg_batch = jax.device_put(jnp.stack(seg_inputs), self._bsh)
@@ -326,23 +361,65 @@ class BatchedPipeline:
                 logits = None
 
         if logits is not None:
-            # Dispatch every per-crop finalize program first, then fetch
-            # all packed masks in ONE device_get — sequential fetches pay
-            # a full round trip each on remote-attached chips.
-            packed_dev = []
+            # Dispatch every per-crop finalize program and start async
+            # host copies of the packed masks; the consumer materializes
+            # them (_materialize_masks) after the transfer has overlapped
+            # with this thread's next chunk of device work.
             for i, st in enumerate(staged):
                 hc, wc = st.crop.shape[:2]
                 packed, mask_dev = self._mask_program(hc, wc)(logits[i])
-                packed_dev.append(packed)
                 st.mask_dev = mask_dev
-            for st, packed in zip(staged, jax.device_get(packed_dev)):
-                wc = st.crop.shape[1]
-                st.mask = (
-                    np.unpackbits(packed, axis=1)[:, :wc].astype(np.uint8) * 255
-                )
+                st.mask_packed_dev = packed
+                try:
+                    packed.copy_to_host_async()
+                except Exception:  # pragma: no cover
+                    pass
         elif self.analyzer.classical_fallback:
             for st in staged:
                 st.mask = np.asarray(segment_classical(st.crop, self.cfg.topology))
+        self._prepare_packed_rasters(staged)
+        return staged
+
+    def _prepare_packed_rasters(self, staged: Sequence[_Staged]) -> None:
+        """Dispatch the topology stage-A program per image and start the
+        async packed-raster fetches (see _Staged.packed_raster). Safe to
+        run before reclassify/enrich: stage-A only subtracts non-preserved
+        boxes, and those stages never change preserve-set membership or
+        coordinates (prepare_packed_raster docstring)."""
+        from ..topology.nodes import prepare_packed_raster
+
+        for st in staged:
+            mask = st.mask_dev if st.mask_dev is not None else st.mask
+            if mask is None:
+                continue
+            try:
+                st.packed_raster = prepare_packed_raster(
+                    mask, st.bboxes, self.cfg.topology
+                )
+            except Exception:
+                logger.exception("stage-A raster prep failed; deferring")
+                st.packed_raster = None
+
+    def _materialize_masks(self, staged: Sequence[_Staged]) -> None:
+        """Batched get of the (already async-copied) packed masks →
+        unpack into st.mask."""
+        pend = [
+            st for st in staged
+            if st.mask is None and st.mask_packed_dev is not None
+        ]
+        if not pend:
+            return
+        packed_host = jax.device_get([st.mask_packed_dev for st in pend])
+        for st, packed in zip(pend, packed_host):
+            wc = st.crop.shape[1]
+            st.mask = (
+                np.unpackbits(packed, axis=1)[:, :wc].astype(np.uint8) * 255
+            )
+
+    def _device_phase(self, chunk: Sequence[np.ndarray]) -> list[_Staged]:
+        """Stages [1]-[2b] for one chunk: detect → crop → SAM2 on crops."""
+        staged = self._segment_phase(self._detect_crop_phase(chunk))
+        self._materialize_masks(staged)
         return staged
 
     def _pre_topology(self, st: _Staged) -> AnalysisResult:
@@ -380,7 +457,7 @@ class BatchedPipeline:
         for every image with a wire mask (extract_nodes_batched); masks
         produced by the SAM2 finalize program are consumed device-resident
         (no re-upload). Falls back to per-image extraction on error."""
-        from ..topology.nodes import extract_nodes_batched
+        from ..topology.nodes import extract_nodes_batched, finish_from_packed
 
         idx = [i for i, r in enumerate(results) if r.sam_mask is not None]
         for i, r in enumerate(results):
@@ -389,21 +466,35 @@ class BatchedPipeline:
         if not idx:
             return
         try:
-            sub = len(idx)  # host-CC path: one call per chunk
-            for s0 in range(0, len(idx), sub):
-                group = idx[s0 : s0 + sub]
+            pre = [i for i in idx if staged[i].packed_raster is not None]
+            rest = [i for i in idx if staged[i].packed_raster is None]
+            if pre:
+                # Rasters were prepared in the segment thread with async
+                # host copies in flight; this get is (near-)instant.
+                packed_host = jax.device_get(
+                    [staged[i].packed_raster.packed_dev for i in pre]
+                )
+                for i, ph in zip(pre, packed_host):
+                    ex = finish_from_packed(
+                        ph,
+                        staged[i].packed_raster,
+                        results[i].bboxes,
+                        self.cfg.topology,
+                    )
+                    results[i].nodes = ex.nodes
+            if rest:
                 extractions = extract_nodes_batched(
                     [
                         staged[i].mask_dev
                         if staged[i].mask_dev is not None
                         else results[i].sam_mask
-                        for i in group
+                        for i in rest
                     ],
-                    [results[i].bboxes for i in group],
+                    [results[i].bboxes for i in rest],
                     self.cfg.topology,
-                    pad_to=min(sub, self.batch_size),
+                    pad_to=min(len(rest), self.batch_size),
                 )
-                for i, ex in zip(group, extractions):
+                for i, ex in zip(rest, extractions):
                     results[i].nodes = ex.nodes
         except Exception:
             logger.exception("batched node analysis failed; per-image fallback")
@@ -455,39 +546,65 @@ class BatchedPipeline:
     def analyze_many(
         self, images: Sequence[np.ndarray], prefetch: int = 2
     ) -> list[AnalysisResult]:
-        """Full pipeline over many images with analyze() semantics:
-        double-buffered device batches (detect + crop-SAM2) with host
-        reclassify/enrich/topology/netlist overlapped on the previous
-        batch."""
+        """Full pipeline over many images with analyze() semantics, run as
+        a three-stage thread pipeline over chunks:
+
+          [detect+crop thread] → [segment thread] → [host topology, here]
+
+        Splitting detect and segment into separate threads matters on
+        remote-attached chips: each stage ends in a blocking fetch (boxes,
+        packed masks), and within one chunk detect → crop → segment is
+        serial (crop needs boxes). With two stages, SAM2 compute of chunk
+        N overlaps the detect round trip of chunk N+1, so steady-state
+        throughput is max(stage) rather than sum(stages)."""
         chunks = [
             list(images[i : i + self.batch_size])
             for i in range(0, len(images), self.batch_size)
         ]
 
-        out_q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        q1: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        q2: "queue.Queue" = queue.Queue(maxsize=prefetch)
 
-        def producer():
+        def detect_worker():
             try:
                 for chunk in chunks:
-                    out_q.put(self._device_phase(chunk))
+                    q1.put(self._detect_crop_phase(chunk))
             except Exception as e:  # pragma: no cover - surfaced to caller
-                out_q.put(e)
-            out_q.put(None)
+                q1.put(e)
+            q1.put(None)
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
+        def segment_worker():
+            while True:
+                item = q1.get()
+                if item is None or isinstance(item, Exception):
+                    q2.put(item)
+                    if item is None:
+                        return
+                    continue
+                try:
+                    q2.put(self._segment_phase(item))
+                except Exception as e:  # pragma: no cover
+                    q2.put(e)
+
+        t1 = threading.Thread(target=detect_worker, daemon=True)
+        t2 = threading.Thread(target=segment_worker, daemon=True)
+        t1.start()
+        t2.start()
 
         results: list[AnalysisResult] = []
         while True:
-            item = out_q.get()
+            item = q2.get()
             if item is None:
                 break
             if isinstance(item, Exception):
-                t.join()
+                t1.join()
+                t2.join()
                 raise item
+            self._materialize_masks(item)
             chunk_results = [self._pre_topology(st) for st in item]
             self._extract_nodes_chunk(item, chunk_results)
             for st, r in zip(item, chunk_results):
                 results.append(self._post_topology(st, r))
-        t.join()
+        t1.join()
+        t2.join()
         return results

@@ -50,12 +50,18 @@ def label_touch_stage_host(
 
     lab, n = ndimage.label(fg, structure=np.ones((3, 3), np.int32))
 
-    flat = lab.ravel()
-    # Root (raster-first linear index) per scipy id 1..n.
+    # Everything downstream is sparse: only foreground pixels carry
+    # information, and fg is a few % of the raster. Extracting coordinate
+    # lists once replaces every full-raster bincount/unique below (the
+    # round-2 formulation cost ~55 ms/img at 600×800; this runs in ~5).
+    fys, fxs = np.nonzero(fg)  # raster order
+    fl = lab[fys, fxs]
+
+    # Root (raster-first linear index) per scipy id 1..n. np.unique over
+    # the raster-ordered sparse labels gives each id's first occurrence.
+    ids, first_idx = np.unique(fl, return_index=True)
     first = np.full(n + 1, sentinel, np.int64)
-    # np.unique returns first occurrence indices for each sorted unique id.
-    ids, first_idx = np.unique(flat, return_index=True)
-    first[ids] = first_idx
+    first[ids] = fys[first_idx].astype(np.int64) * w + fxs[first_idx]
     order = np.argsort(first[1:], kind="stable")  # ascending root order
     sel = order[: K]  # smallest-K roots, like jnp.unique(size=K)
     sel_ids = sel + 1
@@ -64,17 +70,25 @@ def label_touch_stage_host(
     uniq[: len(sel)] = first[sel_ids]
     valid = uniq != sentinel
 
-    area_all = np.bincount(flat, minlength=n + 1).astype(np.float64)
-    ys = np.repeat(np.arange(h, dtype=np.float64), w)
-    xs = np.tile(np.arange(w, dtype=np.float64), h)
-    sx = np.bincount(flat, weights=xs, minlength=n + 1)
-    sy = np.bincount(flat, weights=ys, minlength=n + 1)
+    area_all = np.bincount(fl, minlength=n + 1).astype(np.float64)
+    sx = np.bincount(fl, weights=fxs.astype(np.float64), minlength=n + 1)
+    sy = np.bincount(fl, weights=fys.astype(np.float64), minlength=n + 1)
 
-    interior = ndimage.binary_erosion(
-        fg, structure=np.ones((3, 3), bool), border_value=0
+    # interior = erode3x3(fg) with the border as background (cv2
+    # semantics), via shifted ANDs — ~4x faster than scipy's general
+    # binary_erosion for this fixed structuring element.
+    interior = np.zeros_like(fg)
+    interior[1:-1, 1:-1] = (
+        fg[1:-1, 1:-1]
+        & fg[:-2, 1:-1] & fg[2:, 1:-1] & fg[1:-1, :-2] & fg[1:-1, 2:]
+        & fg[:-2, :-2] & fg[:-2, 2:] & fg[2:, :-2] & fg[2:, 2:]
     )
-    bnd = fg & ~interior
-    bcount_all = np.bincount(lab[bnd].ravel(), minlength=n + 1).astype(np.float64)
+    # Boundary pixel coords filtered from the fg coords (no second
+    # full-raster nonzero scan).
+    is_bnd = ~interior[fys, fxs]
+    bys, bxs = fys[is_bnd], fxs[is_bnd]
+    blab = fl[is_bnd]
+    bcount_all = np.bincount(blab, minlength=n + 1).astype(np.float64)
 
     area = np.zeros(K, np.float32)
     centroids = np.zeros((K, 2), np.float32)
@@ -89,41 +103,86 @@ def label_touch_stage_host(
     rel_area = (contour_area / (float(h) * float(width))).astype(np.float32)
     keep = valid & (rel_area > cfg.contour_area_threshold)
 
+    # Map each boundary pixel's scipy id to its compacted row (or -1).
+    nsel = len(sel)
+    id_to_row = np.full(n + 1, -1, np.int64)
+    id_to_row[sel_ids] = np.arange(nsel)
+    rows = id_to_row[blab]
+    m = rows >= 0
+    rows = rows[m]
+    ix = bxs[m]
+    iy = bys[m]
+
     # Label bounding rects (inclusive), widened +1 on max like the device
-    # broad phase (cv2.boundingRect is max-exclusive).
-    slices = ndimage.find_objects(lab)
+    # broad phase (cv2.boundingRect is max-exclusive). A label's extreme
+    # pixels are always boundary pixels (an interior pixel has fg on all 8
+    # sides), so the rects come from the sparse boundary coords.
     lb = np.zeros((K, 4), np.float32)
-    for row, sid in enumerate(sel_ids):
-        sl = slices[sid - 1]
-        lb[row] = (sl[1].start, sl[0].start, sl[1].stop - 1 + 1.0, sl[0].stop - 1 + 1.0)
+    if nsel and len(ix):
+        minx = np.full(nsel, w, np.int64)
+        miny = np.full(nsel, h, np.int64)
+        maxx = np.full(nsel, -1, np.int64)
+        maxy = np.full(nsel, -1, np.int64)
+        np.minimum.at(minx, rows, ix)
+        np.minimum.at(miny, rows, iy)
+        np.maximum.at(maxx, rows, ix)
+        np.maximum.at(maxy, rows, iy)
+        lb[:nsel, 0] = minx
+        lb[:nsel, 1] = miny
+        lb[:nsel, 2] = maxx + 1.0
+        lb[:nsel, 3] = maxy + 1.0
 
     C = len(comp_boxes)
     touch = np.zeros((K, C), bool)
-    xs1 = np.arange(w, dtype=np.float32)
-    ys1 = np.arange(h, dtype=np.float32)
-    bnd_lab = np.where(bnd, lab, 0)
-    for c in range(C):
-        if not comp_valid[c]:
-            continue
-        bx0, by0, bx1, by1 = comp_boxes[c]
-        t = comp_thr[c]
-        in_x = (xs1 >= bx0) & (xs1 <= bx1)
-        in_y = (ys1 >= by0) & (ys1 <= by1)
-        strip_x = (np.abs(xs1 - bx0) <= t) | (np.abs(xs1 - bx1) <= t)
-        strip_y = (np.abs(ys1 - by0) <= t) | (np.abs(ys1 - by1) <= t)
-        near = (in_y[:, None] & in_x[None, :]) | strip_x[None, :] | strip_y[:, None]
-        hit_ids = np.unique(bnd_lab[near])
-        hit = np.zeros(n + 1, bool)
-        hit[hit_ids] = True
-        hit[0] = False
-        contact = hit[sel_ids]
-        # broad phase: component bbox overlaps widened label rect
+    vc = np.nonzero(comp_valid[:C])[0]
+    if nsel and len(vc) and len(ix):
+        bx0, by0, bx1, by1 = (comp_boxes[vc, i] for i in range(4))
+        t = comp_thr[vc]
+        # contact(row, c) = any boundary pixel of the row's component that
+        # is inside box c OR within t of any of its 4 infinite edge LINES
+        # (the reference's is_point_near_bbox quirk, :811-846).
+        #
+        # The strip tests depend only on the pixel's x (resp. y), so they
+        # factor: per-row presence histograms over columns/rows (K×W, K×H)
+        # contracted against per-component strip masks (W×C, H×C) — the
+        # strip masks use the identical float32 comparisons as the device
+        # path, so semantics stay bit-exact. The 2-D inside test runs on
+        # small integer bbox slices of a row-id raster. This replaces a
+        # (P×C) per-pixel near matrix (~15 ms/img at P≈25k).
+        xhist = np.zeros((nsel, w), np.float32)
+        yhist = np.zeros((nsel, h), np.float32)
+        xhist[rows, ix] = 1.0
+        yhist[rows, iy] = 1.0
+        colsf = np.arange(w, dtype=np.float32)[:, None]
+        rowsf = np.arange(h, dtype=np.float32)[:, None]
+        xstrip = (np.abs(colsf - bx0) <= t) | (np.abs(colsf - bx1) <= t)
+        ystrip = (np.abs(rowsf - by0) <= t) | (np.abs(rowsf - by1) <= t)
+        contact = xhist @ xstrip.astype(np.float32)
+        contact += yhist @ ystrip.astype(np.float32)
+
+        rowmap = np.full((h, w), -1, np.int32)
+        rowmap[iy, ix] = rows
+        x0i = np.clip(np.ceil(bx0.astype(np.float64)).astype(np.int64), 0, w)
+        x1i = np.clip(np.floor(bx1.astype(np.float64)).astype(np.int64) + 1, 0, w)
+        y0i = np.clip(np.ceil(by0.astype(np.float64)).astype(np.int64), 0, h)
+        y1i = np.clip(np.floor(by1.astype(np.float64)).astype(np.int64) + 1, 0, h)
+        for c in range(len(vc)):
+            if x0i[c] >= x1i[c] or y0i[c] >= y1i[c]:
+                continue
+            sub = rowmap[y0i[c] : y1i[c], x0i[c] : x1i[c]]
+            inside_rows = sub[sub >= 0]
+            if len(inside_rows):
+                contact[np.unique(inside_rows), c] += 1.0
+
+        # broad phase: component bbox overlaps widened label rect; the
+        # device path passes `keep` as touch_matrix's label_valid gate
         overlap = ~(
-            (bx1 < lb[: len(sel), 0])
-            | (bx0 > lb[: len(sel), 2])
-            | (by1 < lb[: len(sel), 1])
-            | (by0 > lb[: len(sel), 3])
+            (bx1[None, :] < lb[:nsel, 0:1])
+            | (bx0[None, :] > lb[:nsel, 2:3])
+            | (by1[None, :] < lb[:nsel, 1:2])
+            | (by0[None, :] > lb[:nsel, 3:4])
         )
-        # the device path passes `keep` as touch_matrix's label_valid gate
-        touch[: len(sel), c] = contact & overlap & keep[: len(sel)]
+        touch[np.ix_(np.arange(nsel), vc)] = (
+            (contact > 0) & overlap & keep[:nsel, None]
+        )
     return uniq, centroids, rel_area, keep, touch

@@ -510,6 +510,76 @@ def _batched_stage_b(cfg: TopologyConfig, batch: int, pad_w: int, comp_bucket: i
     return jax.jit(jax.vmap(single))
 
 
+@dataclasses.dataclass
+class PackedRaster:
+    """Device handle for one image's prepared analysis raster (stage-A
+    output): bit-packed 600-row binarized enhance chain, plus the resize
+    geometry needed to finish extraction on host."""
+
+    packed_dev: object  # (new_h, ceil(new_w/8)) uint8, device-resident
+    in_shape: tuple[int, int]
+    new_h: int
+    new_w: int
+
+
+def prepare_packed_raster(mask, bboxes: Sequence[BBox], cfg: TopologyConfig) -> PackedRaster:
+    """Dispatch stage-A (subtract → resize → enhance → bit-pack) for one
+    image and start an async device→host copy of the packed raster.
+
+    Subtraction depends only on each box's coordinates and whether its
+    class is mask-preserved — properties unchanged by the later
+    reclassify/enrich host stages ('terminal'→'voltage.dc' flips the
+    touch threshold, not preserve-set membership) — so callers may run
+    this as soon as crop-adjusted boxes exist and overlap the fetch with
+    other work; `finish_from_packed` applies the final post-reclassify
+    classes."""
+    in_h, in_w = mask.shape[:2]
+    sub_boxes, sub_valid = _subtract_arrays(bboxes, in_h, in_w)
+    prog_a, (new_h, new_w) = _batched_stage_a(cfg, in_h, in_w, sub_boxes.shape[0])
+    _enh, packed = prog_a(
+        jnp.asarray(mask), jnp.asarray(sub_boxes), jnp.asarray(sub_valid)
+    )
+    try:
+        packed.copy_to_host_async()
+    except Exception:  # pragma: no cover - platform without async copies
+        pass
+    return PackedRaster(packed, (in_h, in_w), new_h, new_w)
+
+
+def finish_from_packed(
+    packed_host: np.ndarray,
+    pr: PackedRaster,
+    bboxes: Sequence[BBox],
+    cfg: TopologyConfig,
+    comp_bucket: Optional[int] = None,
+) -> NodeExtraction:
+    """Host half of batched extraction: unpack the raster → CC/stats/touch
+    at C speed (host_cc) → assemble nodes. `bboxes` are the final
+    (post-reclassify/enrich) boxes; only their classes may differ from
+    the ones used at prepare time."""
+    from .host_cc import label_touch_stage_host
+
+    in_h, in_w = pr.in_shape
+    sx, sy = pr.new_w / in_w, pr.new_h / in_h
+    resized_bboxes = [b.scaled(sx, sy) for b in bboxes]
+    comp_indices, cb, ct, cv = _component_arrays(
+        resized_bboxes, cfg, bucket=comp_bucket
+    )
+    fg = np.unpackbits(packed_host, axis=1)[:, : pr.new_w].astype(bool)
+    uniq, centroids, rel_area, keep, touch = label_touch_stage_host(
+        fg, float(pr.new_w), cfg, cb, ct, cv
+    )
+    touch = touch[:, : len(comp_indices)]
+    if not comp_indices or not keep.any():
+        return NodeExtraction([], None, None, None, resized_bboxes)
+    nodes, raw_count = _assemble_nodes(
+        resized_bboxes, comp_indices, uniq, centroids, rel_area, keep, touch
+    )
+    return NodeExtraction(
+        nodes, None, None, None, resized_bboxes, raw_node_count=raw_count
+    )
+
+
 def extract_nodes_batched(
     masks: Sequence,
     bboxes_list: Sequence[Sequence[BBox]],
@@ -541,6 +611,17 @@ def extract_nodes_batched(
     n = len(masks)
     if n == 0:
         return []
+
+    if not device_cc:
+        prs = [
+            prepare_packed_raster(m, bbs, cfg)
+            for m, bbs in zip(masks, bboxes_list)
+        ]
+        packed_host = jax.device_get([pr.packed_dev for pr in prs])
+        return [
+            finish_from_packed(ph, pr, bbs, cfg)
+            for ph, pr, bbs in zip(packed_host, prs, bboxes_list)
+        ]
 
     enhanced = []
     packed_rasters = []
@@ -577,32 +658,6 @@ def extract_nodes_batched(
         metas.append(
             (resized_bboxes, comp_indices, comp_boxes, comp_thr, comp_valid, new_w)
         )
-
-    if not device_cc:
-        from .host_cc import label_touch_stage_host
-
-        packed_host = jax.device_get(packed_rasters)
-        results = []
-        for packed, (resized_bboxes, comp_indices, cb, ct, cv, new_w) in zip(
-            packed_host, metas
-        ):
-            fg = np.unpackbits(packed, axis=1)[:, :new_w].astype(bool)
-            uniq, centroids, rel_area, keep, touch = label_touch_stage_host(
-                fg, float(new_w), cfg, cb, ct, cv
-            )
-            touch = touch[:, : len(comp_indices)]
-            if not comp_indices or not keep.any():
-                results.append(NodeExtraction([], None, None, None, resized_bboxes))
-                continue
-            nodes, raw_count = _assemble_nodes(
-                resized_bboxes, comp_indices, uniq, centroids, rel_area, keep, touch
-            )
-            results.append(
-                NodeExtraction(
-                    nodes, None, None, None, resized_bboxes, raw_node_count=raw_count
-                )
-            )
-        return results
 
     pad_w = max(((e.shape[1] + 127) // 128) * 128 for e in enhanced)
     batch = max(pad_to or 0, n)
