@@ -1,0 +1,177 @@
+"""Randomized synthetic circuit topologies for differential testing.
+
+Generates (wire_mask, detections) input pairs for the topology→netlist
+chain — the shared input surface of the reference's
+`get_node_connections`/`generate_netlist_from_nodes`
+(src/circuit_analyzer.py:1286-1770) and this repo's
+`topology.nodes.extract_nodes`/`netlist.generate` — with hostile
+variation the 5 hand-built eval circuits lack:
+
+  * ladder topologies with 2-4 rails and 2-6 component rungs;
+  * diode/transistor/source classes (pixel thresholds 8/20, not just 6);
+  * gnd stubs, dangling terminal stubs (type-N lines), unknown classes;
+  * random semantic directions/reasons on eligible classes (node-order
+    swaps, ARROW/SIGN prefix overrides);
+  * noise specks with areas straddling the 4e-4 contour threshold;
+  * random raster sizes and stroke widths.
+
+These are INPUTS only — no pinned outputs. The differential harness
+(tests/test_reference_diff.py) runs both implementations and requires
+byte-identical netlist text.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.types import BBox
+
+COMPONENT_CLASSES = [
+    "resistor", "capacitor", "inductor",
+    "diode", "diode.zener", "diode.light_emitting",
+    "voltage.dc", "voltage.ac", "current.dc",
+    "transistor.bjt", "unknown",
+]
+
+_DIRECTIONS = ["UP", "DOWN", "LEFT", "RIGHT", "UNKNOWN"]
+_REASONS = ["SIGN", "ARROW", "UNKNOWN"]
+_DIRECTION_ELIGIBLE = {
+    "voltage.dc", "voltage.ac", "diode", "diode.light_emitting",
+    "diode.zener", "transistor.bjt", "unknown",
+}
+
+
+def random_circuit(seed: int) -> tuple[np.ndarray, list[BBox]]:
+    """One random ladder circuit. Returns (mask, boxes): a 0/255 uint8
+    wire raster and oracle detections in the same coordinate space."""
+    rng = np.random.default_rng(seed)
+    # Raster sizes come from a small bucket set: the per-shape jit
+    # programs (stage-A raster prep) compile once per shape, and on the
+    # 1-core CI host unbounded shape variety would dominate test time.
+    # The interesting variation (classes, thresholds, areas, directions)
+    # lives in the mask content, not the canvas size.
+    h = int(rng.choice([400, 520, 640]))
+    w = int(rng.choice([560, 720, 840]))
+    t = int(rng.integers(2, 5))
+    mask = np.zeros((h, w), np.uint8)
+    boxes: list[BBox] = []
+
+    def hwire(y, x0, x1):
+        mask[y : y + t, min(x0, x1) : max(x0, x1)] = 255
+
+    def vwire(x, y0, y1):
+        mask[min(y0, y1) : max(y0, y1), x : x + t] = 255
+
+    n_rails = int(rng.integers(2, 5))
+    margin_y = 70
+    rail_ys = np.sort(
+        rng.choice(np.arange(margin_y, h - margin_y, 8), n_rails, replace=False)
+    )
+    # keep rails at least 90 px apart so rung components fit between them
+    keep = [rail_ys[0]]
+    for y in rail_ys[1:]:
+        if y - keep[-1] >= 90:
+            keep.append(int(y))
+    rail_ys = keep
+    n_rails = len(rail_ys)
+    if n_rails < 2:
+        rail_ys = [margin_y, h - margin_y]
+        n_rails = 2
+
+    x_left = int(rng.integers(30, 70))
+    x_right = int(w - rng.integers(30, 70))
+    for y in rail_ys:
+        hwire(y, x_left, x_right)
+    # side wires close the ladder into a loop
+    vwire(x_left, rail_ys[0], rail_ys[-1] + t)
+    vwire(x_right - t + 1, rail_ys[0], rail_ys[-1] + t)
+
+    def place_component(cls: str, cx: int, cy: int):
+        bw = int(rng.integers(26, 48))
+        bh = int(rng.integers(18, 40))
+        x0, y0 = cx - bw // 2, cy - bh // 2
+        b = BBox(
+            class_name=cls,
+            confidence=round(float(rng.uniform(0.5, 0.99)), 2),
+            xmin=int(x0), ymin=int(y0), xmax=int(x0 + bw), ymax=int(y0 + bh),
+        )
+        if cls in _DIRECTION_ELIGIBLE and rng.random() < 0.8:
+            b.semantic_direction = str(rng.choice(_DIRECTIONS))
+            b.semantic_reason = str(rng.choice(_REASONS))
+        boxes.append(b)
+        return b
+
+    # component rungs between adjacent rails
+    n_rungs = int(rng.integers(2, 7))
+    rung_xs = np.sort(
+        rng.choice(
+            np.arange(x_left + 60, x_right - 60, 12),
+            min(n_rungs, max(1, (x_right - x_left - 120) // 12)),
+            replace=False,
+        )
+    )
+    for rx in rung_xs:
+        lo = int(rng.integers(0, n_rails - 1))
+        y0, y1 = rail_ys[lo], rail_ys[lo + 1]
+        vwire(int(rx), y0, y1 + t)
+        cls = str(rng.choice(COMPONENT_CLASSES))
+        cy = int((y0 + y1) // 2 + rng.integers(-12, 13))
+        place_component(cls, int(rx) + t // 2, cy)
+
+    # sometimes a component ON a rail (cuts the rail into two nets)
+    if rng.random() < 0.5 and len(rail_ys) >= 2:
+        ry = int(rng.choice(rail_ys))
+        cx = int(rng.integers(x_left + 80, x_right - 80))
+        place_component(str(rng.choice(COMPONENT_CLASSES)), cx, ry + t // 2)
+
+    # gnd stub hanging from the bottom rail
+    if rng.random() < 0.7:
+        gx = int(rng.integers(x_left + 40, x_right - 40))
+        gy0 = rail_ys[-1]
+        gy1 = min(h - 12, gy0 + int(rng.integers(30, 55)))
+        vwire(gx, gy0, gy1)
+        place_component("gnd", gx + t // 2, gy1)
+
+    # dangling terminal stub (single-net 'terminal' → type-N line)
+    if rng.random() < 0.6:
+        ty = int(rng.choice(rail_ys))
+        tx1 = min(w - 12, x_right + int(rng.integers(10, 25)))
+        hwire(ty, x_right, tx1)
+        place_component("terminal", tx1, ty + t // 2)
+
+    # junction/crossover glyph boxes (preserved in subtraction)
+    if rng.random() < 0.5:
+        jx = int(rng.choice(rung_xs)) if len(rung_xs) else x_left + 100
+        jy = int(rng.choice(rail_ys))
+        boxes.append(
+            BBox(
+                class_name=str(rng.choice(["junction", "crossover"])),
+                confidence=0.9,
+                xmin=jx - 6, ymin=jy - 6, xmax=jx + 8, ymax=jy + 8,
+            )
+        )
+
+    # text boxes (ignored by netlist, used by crop scoring elsewhere)
+    for _ in range(int(rng.integers(0, 3))):
+        tx = int(rng.integers(20, w - 60))
+        ty2 = int(rng.integers(20, h - 30))
+        boxes.append(
+            BBox(
+                class_name="text", confidence=0.85,
+                xmin=tx, ymin=ty2, xmax=tx + int(rng.integers(20, 50)),
+                ymax=ty2 + int(rng.integers(8, 16)),
+            )
+        )
+
+    # noise specks, some with areas near the 4e-4 relative threshold
+    # (4e-4 · H · W ≈ 80-250 px² here)
+    for _ in range(int(rng.integers(0, 8))):
+        side = int(rng.integers(2, 18))
+        sx = int(rng.integers(5, w - side - 5))
+        sy = int(rng.integers(5, h - side - 5))
+        mask[sy : sy + side, sx : sx + side] = 255
+
+    return mask, boxes
+
+
+def random_circuits(n: int, seed0: int = 1000) -> list[tuple[np.ndarray, list[BBox]]]:
+    return [random_circuit(seed0 + i) for i in range(n)]

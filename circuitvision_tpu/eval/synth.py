@@ -7,10 +7,11 @@ mask, canned stage-2 VLM labels (values), and the pinned final netlist
 text each circuit must produce through the classical pipeline with
 oracle detections.
 
-The pinned netlists were derived by running the pipeline once and then
-verifying every line against the drawn topology by hand (same procedure
-as tests/test_golden_circuit.py); they are the north-star fidelity
-target of BASELINE.md ("netlist text exact-match").
+The pinned netlists are verified two ways: against the drawn topology
+by hand, and byte-for-byte against the REFERENCE implementation's own
+host pipeline run on identical (mask, boxes) inputs
+(tests/test_reference_diff.py); they are the north-star fidelity target
+of BASELINE.md ("netlist text exact-match").
 
 Reference data layout consumed by scripts/eval_pipeline.py:
     images/<name>.png     netlists/<name>.cir
@@ -108,8 +109,8 @@ def golden() -> SynthCircuit:
         wire_mask=c.mask,
         vlm_labels=labels,
         directions={"voltage.dc": ("UP", "SIGN")},
-        netlist_text="V1 0 1 10\nR1 1 0 1k\nR2 2 0 2k\nC1 2 0 1u",
-        valueless_text="V1 0 1 None\nR1 1 0 None\nR2 2 0 None\nC1 2 0 None",
+        netlist_text="V1 0 2 10\nR1 2 1 1k\nR2 1 0 2k\nC1 1 0 1u",
+        valueless_text="V1 0 2 None\nR1 1 0 None\nC1 1 0 None\nR2 2 1 None",
     )
 
 
@@ -206,8 +207,8 @@ def series_rl() -> SynthCircuit:
         wire_mask=c.mask,
         vlm_labels=labels,
         directions={"voltage.dc": ("UP", "SIGN")},
-        netlist_text="V1 0 1 12\nR1 2 1 1k\nL1 2 0 10m",
-        valueless_text="V1 0 1 None\nL1 2 0 None\nR1 2 1 None",
+        netlist_text="V1 0 2 12\nR1 2 1 1k\nL1 1 0 10m",
+        valueless_text="V1 0 2 None\nL1 1 0 None\nR1 2 1 None",
     )
 
 
@@ -240,8 +241,8 @@ def ac_rc() -> SynthCircuit:
         wire_mask=c.mask,
         vlm_labels=labels,
         directions={"voltage.ac": ("UP", "SIGN")},
-        netlist_text="V1 0 1 4:-45\nR1 2 1 100\nC1 2 0 1u",
-        valueless_text="V1 0 1 None\nC1 2 0 None\nR1 2 1 None",
+        netlist_text="V1 0 2 4:-45\nR1 2 1 100\nC1 1 0 1u",
+        valueless_text="V1 0 2 None\nC1 1 0 None\nR1 2 1 None",
     )
 
 

@@ -41,7 +41,14 @@ def _ordered_centroids(
     is_current = cls in taxonomy.CURRENT_SOURCE_CLASSES
 
     reason = reason if reason is not None else "UNKNOWN"
-    direction = direction if direction is not None else "UNKNOWN"
+    # direction stays None when the enrichment stage never ran or the
+    # class was ineligible (its explicit None write, :2213-2215). The
+    # reference treats None DIFFERENTLY from "UNKNOWN": "UNKNOWN" (or a
+    # non-directional class) takes the swapped (node2, node1) default at
+    # :1986-1988, while any other unhandled value — including None — on a
+    # direction-relevant class falls through to the UNSWAPPED
+    # (node1, node2) branch at :2027-2030. Verified by the differential
+    # harness (tests/test_reference_diff.py); do not coerce None here.
 
     acts_like_arrow = is_current or (is_voltage and reason == "ARROW")
     acts_like_sign_voltage = is_voltage and reason != "ARROW"
@@ -85,8 +92,12 @@ def generate_netlist_from_nodes(nodes: Sequence[Node]) -> list[NetlistLine]:
         for component in node.components:
             cls = component.class_name
             uid = component.persistent_uid
-            direction = component.semantic_direction or "UNKNOWN"
-            reason = component.semantic_reason or "UNKNOWN"
+            # None passes through un-coerced: the reference's dicts carry
+            # semantic_direction=None for enrichment-ineligible classes
+            # and that None selects a DIFFERENT default branch than
+            # "UNKNOWN" in the node-ordering helper (see _ordered_centroids).
+            direction = component.semantic_direction
+            reason = component.semantic_reason
 
             if not uid:
                 continue

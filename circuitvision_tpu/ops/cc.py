@@ -191,8 +191,18 @@ def label_stats(labels: jax.Array, max_labels: int = 64) -> LabelStats:
     sentinel = h * w
     flat = labels.reshape(-1)
 
-    uniq = jnp.unique(flat, size=max_labels, fill_value=sentinel)
-    valid = uniq != sentinel
+    # Label ids (root linear indices) compacted in DESCENDING raster-first
+    # order — cv2.findContours returns outer contours in reverse raster
+    # discovery order (verified against cv2 5.0: bottom-most blob is
+    # contour 0), and the reference's node old-ids, renumbering sort and
+    # per-id viz colors all follow that enumeration
+    # (src/circuit_analyzer.py:388-459, 1547-1582). Sort key: negate
+    # foreground labels so jnp.unique's ascending scan yields descending
+    # ids, with the background sentinel still sorting last.
+    key = jnp.where(flat == sentinel, jnp.int32(sentinel), -flat.astype(jnp.int32))
+    uniq_key = jnp.unique(key, size=max_labels, fill_value=sentinel)
+    valid = uniq_key != sentinel
+    uniq = jnp.where(valid, -uniq_key, sentinel)
 
     onehot = (flat[None, :] == uniq[:, None]).astype(jnp.float32)  # (K, HW)
 

@@ -177,24 +177,27 @@ def _label_touch_stage(fg, wid_f32, cfg, comp_boxes, comp_thr, comp_valid):
 
 @functools.lru_cache(maxsize=32)
 def _topology_program(cfg: TopologyConfig, in_h: int, in_w: int, max_comp: int):
-    """One jit program for the whole raster topology stage.
-
-    The stage previously ran as ~8 separate dispatches (resize, enhance,
-    label, stats, boundary, touch, plus eager glue) — each paying a full
-    host↔device round trip, which dominates single-image latency on
-    remote-attached TPUs (~420 ms of a 650 ms analyze() measured). Fused,
-    it is one dispatch and a few-KB result fetch.
-    """
+    """One jit program for the single-image raster topology stage (viz
+    flavor): resize → enhance → CC label image (for the contour/label
+    visualizations) → bit-packed binarized raster (for the host contour
+    stage, which computes the node graph with cv2-exact polygon
+    semantics). One dispatch, one small fetch — single-image latency on
+    remote-attached TPUs is round-trip-bound (~420 ms of a 650 ms
+    analyze() before fusing)."""
     new_h, new_w = cfg.resize_height, int(cfg.resize_height * (in_w / in_h))
+    w8 = (new_w + 7) // 8
 
-    def program(mask_f32, comp_boxes, comp_thr, comp_valid):
+    def program(mask_f32):
         resized = resize_bilinear(mask_f32, (new_h, new_w))
         enhanced_u8 = _enhance_chain(resized, cfg)
         fg = enhanced_u8 > 0
-        labels, stats, rel_area, keep, touch = _label_touch_stage(
-            fg, jnp.float32(new_w), cfg, comp_boxes, comp_thr, comp_valid
-        )
-        return enhanced_u8, labels, stats, rel_area, keep, touch
+        labels = label_components(fg, max_iters=256)
+        m = fg.astype(jnp.uint32)
+        padded = jnp.pad(m, ((0, 0), (0, w8 * 8 - new_w)))
+        bits = padded.reshape(new_h, w8, 8)
+        weights = jnp.asarray((128, 64, 32, 16, 8, 4, 2, 1), jnp.uint32)
+        packed = (bits * weights).sum(-1).astype(jnp.uint8)
+        return enhanced_u8, labels, packed
 
     return jax.jit(program), (new_h, new_w)
 
@@ -237,48 +240,50 @@ def extract_nodes(
         resized_bboxes, cfg
     )
 
-    # 2-5. One device dispatch for resize→enhance→CC→stats→touch.
-    enhanced_dev, labels_dev, stats, rel_area_dev, keep_dev, touch_dev = program(
-        jnp.asarray(emptied, jnp.float32),
-        jnp.asarray(comp_boxes),
-        jnp.asarray(comp_thr),
-        jnp.asarray(comp_valid),
-    )
+    # 2. One device dispatch for resize→enhance→label/pack.
+    enhanced_dev, labels_dev, packed_dev = program(jnp.asarray(emptied, jnp.float32))
 
-    # One batched host fetch for the few-KB bookkeeping arrays (sequential
-    # np.asarray calls each pay a full round trip on remote-attached TPUs).
-    fetch = [rel_area_dev, keep_dev, stats.labels, stats.centroid, touch_dev]
+    # One batched host fetch (sequential np.asarray calls each pay a full
+    # round trip on remote-attached TPUs).
+    fetch = [packed_dev]
     if fetch_viz:
         fetch += [enhanced_dev, labels_dev]
     fetched = jax.device_get(fetch)
-    rel_area, keep, uniq, centroids, touch = fetched[:5]
-    touch = touch[:, : len(comp_indices)]
+    fg = np.unpackbits(fetched[0], axis=1)[:, :new_w].astype(bool)
     if fetch_viz:
-        enhanced_u8 = fetched[5].astype(np.uint8)
-        labels = fetched[6]
+        enhanced_u8 = fetched[1].astype(np.uint8)
+        labels = fetched[2]
     else:
         enhanced_u8 = None
         labels = None
 
-    if not comp_indices or not keep.any():
+    # 3-5. cv2-exact contour trace / polygon stats / vertex touch on host
+    # (host_cc.contour_touch_stage_host) — identical backend to the
+    # batched path, so single and batch netlists agree by construction.
+    from .host_cc import contour_touch_stage_host
+
+    centroids, rel_area, touch, contours = contour_touch_stage_host(
+        fg, float(new_w), cfg, comp_boxes, comp_thr, comp_valid
+    )
+    touch = touch[:, : len(comp_indices)]
+    k = len(rel_area)
+    if not comp_indices or k == 0:
         return NodeExtraction([], emptied, enhanced_u8, labels, resized_bboxes)
 
     nodes, raw_count = _assemble_nodes(
-        resized_bboxes, comp_indices, uniq, centroids, rel_area, keep, touch
+        resized_bboxes, comp_indices, np.arange(k), centroids, rel_area,
+        np.ones(k, bool), touch,
     )
     cviz = pviz = None
     if fetch_viz and labels is not None:
         from ..core.viz import connection_points_viz, contour_viz
 
-        kept_rows = [k for k in range(len(uniq)) if keep[k]]
         cviz = contour_viz(
             labels,
-            [int(uniq[k]) for k in kept_rows],
-            [tuple(int(c) for c in centroids[k]) for k in kept_rows],
+            [ct.root for ct in contours],
+            [ct.centroid for ct in contours],
         )
-        pts = _connection_points(
-            labels, uniq, kept_rows, touch, resized_bboxes, comp_indices, cfg
-        )
+        pts = _connection_points(contours, touch, resized_bboxes, comp_indices, cfg)
         pviz = connection_points_viz(cviz, pts)
     return NodeExtraction(
         nodes, emptied, enhanced_u8, labels, resized_bboxes,
@@ -287,22 +292,18 @@ def extract_nodes(
 
 
 def _connection_points(
-    labels, uniq, kept_rows, touch, resized_bboxes, comp_indices, cfg
+    contours, touch, resized_bboxes, comp_indices, cfg
 ) -> list[tuple[int, int]]:
-    """Boundary pixels of each kept contour that satisfy the terminal
-    predicate against a touching component (the points the reference
-    collects during its contour walks, src/circuit_analyzer.py:1402-1446)."""
-    from ..core.viz import _region_boundary
-
+    """First contour vertex matching each touching (component, contour)
+    pair — the point the reference appends before `break`ing its walk
+    (src/circuit_analyzer.py:1423-1443)."""
     points: list[tuple[int, int]] = []
-    for k in kept_rows:
+    for k, ct in enumerate(contours):
         row = touch[k]
         if not row.any():
             continue
-        bnd = _region_boundary(labels == int(uniq[k]))
-        ys, xs = np.nonzero(bnd)
-        if len(xs) == 0:
-            continue
+        xs = ct.vertices[:, 0].astype(np.int64)
+        ys = ct.vertices[:, 1].astype(np.int64)
         for ci, gi in enumerate(comp_indices):
             if not row[ci]:
                 continue
@@ -315,8 +316,9 @@ def _connection_points(
                 | (np.abs(ys - b.ymin) <= t)
                 | (np.abs(ys - b.ymax) <= t)
             )
-            sel = inside | near
-            points.extend(zip(xs[sel].tolist(), ys[sel].tolist()))
+            sel = np.nonzero(inside | near)[0]
+            if len(sel):
+                points.append((int(xs[sel[0]]), int(ys[sel[0]])))
     return points
 
 
@@ -553,11 +555,12 @@ def finish_from_packed(
     cfg: TopologyConfig,
     comp_bucket: Optional[int] = None,
 ) -> NodeExtraction:
-    """Host half of batched extraction: unpack the raster → CC/stats/touch
-    at C speed (host_cc) → assemble nodes. `bboxes` are the final
+    """Host half of batched extraction: unpack the raster → cv2-exact
+    contour trace / polygon stats / vertex touch (host_cc.
+    contour_touch_stage_host) → assemble nodes. `bboxes` are the final
     (post-reclassify/enrich) boxes; only their classes may differ from
     the ones used at prepare time."""
-    from .host_cc import label_touch_stage_host
+    from .host_cc import contour_touch_stage_host
 
     in_h, in_w = pr.in_shape
     sx, sy = pr.new_w / in_w, pr.new_h / in_h
@@ -566,14 +569,16 @@ def finish_from_packed(
         resized_bboxes, cfg, bucket=comp_bucket
     )
     fg = np.unpackbits(packed_host, axis=1)[:, : pr.new_w].astype(bool)
-    uniq, centroids, rel_area, keep, touch = label_touch_stage_host(
+    centroids, rel_area, touch, _contours = contour_touch_stage_host(
         fg, float(pr.new_w), cfg, cb, ct, cv
     )
     touch = touch[:, : len(comp_indices)]
-    if not comp_indices or not keep.any():
+    k = len(rel_area)
+    if not comp_indices or k == 0:
         return NodeExtraction([], None, None, None, resized_bboxes)
     nodes, raw_count = _assemble_nodes(
-        resized_bboxes, comp_indices, uniq, centroids, rel_area, keep, touch
+        resized_bboxes, comp_indices, np.arange(k), centroids, rel_area,
+        np.ones(k, bool), touch,
     )
     return NodeExtraction(
         nodes, None, None, None, resized_bboxes, raw_node_count=raw_count

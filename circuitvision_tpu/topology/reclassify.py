@@ -13,20 +13,15 @@ by the main node stage.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional, Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core import taxonomy
 from ..core.config import TopologyConfig
 from ..core.types import BBox
-from ..ops.cc import connected_components
 from ..ops.image import adaptive_threshold_mean_inv, rgb_to_gray
-from ..ops.morphology import boundary_mask
-from .matching import touch_matrix
 from .nodes import subtract_component_boxes
 
 
@@ -39,38 +34,20 @@ def segment_classical(image_rgb: np.ndarray, cfg: Optional[TopologyConfig] = Non
     return np.asarray(mask)
 
 
-@functools.lru_cache(maxsize=32)
-def _reclass_program(cfg: TopologyConfig, h: int, w: int):
-    """One jit program for the preliminary reclassification raster stage
-    (invert check → CC → stats → boundary → touch), mirroring the fused
-    topology program — a single dispatch instead of ~6 on remote TPUs."""
-
-    def program(wire_f32, comp_boxes, comp_thr, comp_valid):
-        fg_raw = wire_f32 > 0
-        # Auto-invert when mostly white (get_contours semantics, :398).
-        fg = jnp.where(jnp.mean(wire_f32) > 127.0, ~fg_raw, fg_raw)
-        labels, stats = connected_components(
-            fg, max_labels=cfg.max_labels, max_iters=256
-        )
-        rel_area = stats.contour_area / float(h * w)
-        keep = stats.valid & (rel_area > cfg.prelim_contour_area_threshold)
-        broad = stats.bbox + jnp.asarray([0.0, 0.0, 1.0, 1.0], jnp.float32)
-        touch = touch_matrix(
-            labels, boundary_mask(fg), stats.labels, broad, keep,
-            comp_boxes, comp_thr, comp_valid,
-        )
-        return keep, touch
-
-    return jax.jit(program)
-
-
 def reclassify_terminals(
     image_rgb: np.ndarray,
     bboxes: Sequence[BBox],
     cfg: Optional[TopologyConfig] = None,
 ) -> list[BBox]:
     """Return a new bbox list with multi-connected terminals relabeled
-    'voltage.dc' (the reference mutates in place; we return copies)."""
+    'voltage.dc' (the reference mutates in place; we return copies).
+
+    Raster prep (adaptive threshold) runs on device; the contour/touch
+    stage runs through the cv2-exact host backend
+    (host_cc.contour_touch_stage_host) with the reference reclassify
+    walk's exact shape: prelim area threshold 1e-4, pixel threshold 10,
+    NO rect broad phase (:2254-2287)."""
+    from .host_cc import contour_touch_stage_host
     from .nodes import _comp_bucket
 
     cfg = cfg or TopologyConfig()
@@ -92,17 +69,16 @@ def reclassify_terminals(
         comp_boxes[col] = (b.xmin, b.ymin, b.xmax, b.ymax)
         comp_valid[col] = True
 
-    program = _reclass_program(cfg, h, w)
-    keep_dev, touch_dev = program(
-        jnp.asarray(wire, jnp.float32),
-        jnp.asarray(comp_boxes),
-        jnp.asarray(comp_thr),
-        jnp.asarray(comp_valid),
+    # Auto-invert when mostly white (get_contours semantics, :398).
+    fg = wire != 0
+    if wire.mean() > 127.0:
+        fg = ~fg
+    _cen, _rel, touch, _cts = contour_touch_stage_host(
+        fg, float(w), cfg, comp_boxes, comp_thr, comp_valid,
+        area_threshold=cfg.prelim_contour_area_threshold,
+        broad_phase=False,
     )
-    keep, touch = jax.device_get([keep_dev, touch_dev])
     touch = touch[:, : len(terminal_idx)]
-    if not keep.any():
-        return out
 
     for col, i in enumerate(terminal_idx):
         distinct = int(touch[:, col].sum())

@@ -162,10 +162,10 @@ class TestBatchParity:
         img, _ = golden_image()
         (res,) = analyzer.analyze_batch([img], mesh=_cpu_mesh(2), batch_size=2)
         assert res.valueless_netlist_text.split("\n") == [
-            "V1 0 1 None",
+            "V1 0 2 None",
             "R1 1 0 None",
-            "R2 2 0 None",
-            "C1 2 0 None",
+            "C1 1 0 None",
+            "R2 2 1 None",
         ]
 
 

@@ -113,9 +113,10 @@ class TestConnectedComponentsParity:
             est = float(np.asarray(stats.contour_area)[0])
             assert abs(est - ref) / max(ref, 1) < 0.05, (size, est, ref)
 
-    def test_raster_order_matches_cv2_reading_order(self):
-        # Our compacted label order == topmost-then-leftmost first; verify
-        # against cv2 centroids sorted the same way.
+    def test_raster_order_matches_cv2_contour_order(self):
+        # Our compacted label order == cv2.findContours RETR_EXTERNAL
+        # enumeration (reverse raster discovery); verify against cv2
+        # centroids sorted the same way.
         img = _wire_image(seed=5)
         fg = img > 0
         _, stats = connected_components(jnp.asarray(fg), max_labels=64)
@@ -131,7 +132,7 @@ class TestConnectedComponentsParity:
             order = np.lexsort((xs, ys))[0]
             cx, cy = xs.mean(), ys.mean()
             firsts.append(((ys[order], xs[order]), (round(cx, 1), round(cy, 1))))
-        firsts.sort(key=lambda t: t[0])
+        firsts.sort(key=lambda t: t[0], reverse=True)
         ref_order = [c for _, c in firsts]
         assert len(ours) == len(ref_order)
         for (ax, ay), (bx, by) in zip(ours, ref_order):

@@ -74,18 +74,20 @@ class TestGoldenCircuit:
 
         netlist = generate_netlist_from_nodes(extraction.nodes)
         valueless = stringify_netlist(netlist)
-        # Pinned structural netlist text. Two reference behaviors show here
-        # faithfully: (a) R1 also matches the ground node because
-        # is_point_near_bbox measures distance to infinite edge *lines*
-        # (src/circuit_analyzer.py:836-843) and the ground region's
-        # bounding rect passes the broad phase — so R1 reads nodes (1, 0),
-        # not (1, 2); (b) gnd touches only one node and is skipped by the
-        # single-node guard (:1680-1684).
+        # Pinned structural netlist text — byte-identical to the reference
+        # implementation's own output on this (mask, boxes) input
+        # (cross-checked via tests/test_reference_diff.py machinery).
+        # Reference behaviors showing here: node old-ids follow cv2's
+        # reverse-raster contour enumeration (ground = bottom rail is
+        # contour 0), the matching walk tests only CHAIN_APPROX_SIMPLE
+        # vertices against the edge-line rule (:1407-1446), and gnd
+        # touches only one node so the single-node guard skips it
+        # (:1680-1684).
         assert valueless.split("\n") == [
-            "V1 0 1 None",
+            "V1 0 2 None",
             "R1 1 0 None",
-            "R2 2 0 None",
-            "C1 2 0 None",
+            "C1 1 0 None",
+            "R2 2 1 None",
         ]
 
         enum_img, enum_boxes = enumerate_components(
@@ -103,17 +105,17 @@ class TestGoldenCircuit:
         fix_netlist(netlist, vlm, enum_boxes)
         final = stringify_netlist(netlist)
         assert final.split("\n") == [
-            "V1 0 1 10",
-            "R1 1 0 1k",
-            "R2 2 0 2k",
-            "C1 2 0 1u",
+            "V1 0 2 10",
+            "R1 2 1 1k",
+            "R2 1 0 2k",
+            "C1 1 0 1u",
         ]
 
         sim = perform_dc_analysis(final)
         assert sim.ok, sim.error
-        # V1 0 1 10 → V(1) = -10; node 2 floats to ground through R2.
-        assert sim.node_voltages["1"] == "-10.000V"
-        assert abs(float(sim.node_voltages["2"].rstrip("V"))) < 1e-3
+        # V1 0 2 10 → V(2) = -10; R1/R2 divider puts node 1 at -20/3 V.
+        assert sim.node_voltages["2"] == "-10.000V"
+        assert abs(float(sim.node_voltages["1"].rstrip("V")) + 20.0 / 3.0) < 1e-2
 
     def test_direction_down_flips_source(self):
         mask, boxes = build_circuit()
@@ -121,7 +123,7 @@ class TestGoldenCircuit:
         extraction = extract_nodes(mask, boxes)
         netlist = generate_netlist_from_nodes(extraction.nodes)
         v = next(l for l in netlist if l.component_type == "V")
-        assert (v.node_1, v.node_2) == (1, 0)  # flipped vs UP's (0, 1)
+        assert (v.node_1, v.node_2) == (2, 0)  # flipped vs UP's (0, 2)
 
 
 class TestSkeleton:

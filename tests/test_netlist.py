@@ -43,8 +43,16 @@ class TestGenerate:
         assert types == {"V", "R"}
         v = next(l for l in netlist if l.component_type == "V")
         assert v.component_num == 1
-        # UNKNOWN direction default: node2 (the *other* node from first
-        # encounter) becomes primary → node_1 = 1, node_2 = 0.
+        # direction=None on a direction-relevant class (voltage source)
+        # takes the reference's UNSWAPPED fallthrough branch — distinct
+        # from the "UNKNOWN" string, which swaps (:1986-1988 vs
+        # :2027-2030; pinned by tests/test_reference_diff.py).
+        assert (v.node_1, v.node_2) == (0, 1)
+
+    def test_unknown_string_direction_swaps(self):
+        netlist = generate_netlist_from_nodes(_two_node_circuit("UNKNOWN", None))
+        v = next(l for l in netlist if l.component_type == "V")
+        # "UNKNOWN" hits the swap default: other node becomes primary.
         assert (v.node_1, v.node_2) == (1, 0)
 
     def test_direction_up_sign_orders_nodes(self):
@@ -148,7 +156,7 @@ class TestStringify:
     def test_full_netlist_text(self):
         netlist = generate_netlist_from_nodes(_two_node_circuit())
         text = stringify_netlist(netlist)
-        assert "V1 1 0 None" in text
+        assert "V1 0 1 None" in text
         assert "R1" in text
 
 

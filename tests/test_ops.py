@@ -120,15 +120,15 @@ class TestConnectedComponents:
         np.testing.assert_allclose(centroid[0], [14.5, 5.5])
         np.testing.assert_allclose(bbox[0], [10, 4, 19, 7])
 
-    def test_label_order_is_raster(self):
+    def test_label_order_is_reverse_raster(self):
         img = np.zeros((20, 20), bool)
-        img[15:18, 2:5] = True  # lower-left
-        img[2:5, 10:13] = True  # upper-right (first in raster order)
+        img[15:18, 2:5] = True  # lower-left (first in cv2 output order)
+        img[2:5, 10:13] = True  # upper-right (discovered first, emitted last)
         _, stats = connected_components(jnp.asarray(img), max_labels=8)
         centroids = np.asarray(stats.centroid)
-        # First compacted label = component whose first pixel comes first
-        # in raster order → the upper blob.
-        assert centroids[0][1] < centroids[1][1]
+        # Compacted order matches cv2.findContours enumeration: REVERSE
+        # raster discovery (cv2 prepends) → the lower blob is row 0.
+        assert centroids[0][1] > centroids[1][1]
 
     def test_contour_area_estimate(self):
         # For a 10x10 filled square: pixels=100, boundary=36,
