@@ -119,11 +119,11 @@ class TestBatchParity:
         )
         _inject_detections(monkeypatch, analyzer)
 
-        images = [img for img, _ in CIRCUITS] * 2  # repeat: exercises chunking
+        images = [img for img, _ in CIRCUITS] * 3  # repeat: exercises chunking
         singles = [analyzer.analyze(img) for img in images]
-        batched = analyzer.analyze_batch(
-            images, mesh=_cpu_mesh(1), batch_size=3
-        )  # partial last chunk exercises padding
+        # Full 8-device data mesh (conftest forces 8 virtual CPU devices);
+        # 6 images into batch 8 exercises chunk padding under sharding.
+        batched = analyzer.analyze_batch(images, mesh=_cpu_mesh(8), batch_size=8)
 
         assert len(batched) == len(singles)
         for s, b in zip(singles, batched):
@@ -160,7 +160,7 @@ class TestBatchParity:
         )
         _inject_detections(monkeypatch, analyzer)
         img, _ = golden_image()
-        (res,) = analyzer.analyze_batch([img], mesh=_cpu_mesh(2), batch_size=2)
+        (res,) = analyzer.analyze_batch([img], mesh=_cpu_mesh(8), batch_size=8)
         assert res.valueless_netlist_text.split("\n") == [
             "V1 0 2 None",
             "R1 1 0 None",
