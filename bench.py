@@ -77,8 +77,15 @@ def build_models(smoke: bool):
 
 
 def bench_end_to_end(det_cfg, sam_cfg, yolo_vars, sam_vars, per_dev_batch: int):
-    """analyze_batch img/s over synthetic schematics incl. host stages."""
+    """analyze_batch img/s over synthetic schematics incl. host stages.
+
+    Returns (images_per_sec, phase_ms_per_image): per-stage busy time of
+    the three pipeline stages (detect+crop thread / segment thread / host
+    topology consumer) so the bottleneck is machine-readable. Stages
+    overlap, so busy times sum to more than wall time; the throughput
+    bound is ~max(stage busy) plus GIL contention on 1-core hosts."""
     import copy
+    import time as _time
 
     from circuitvision_tpu.core.config import MeshConfig, PipelineConfig
     from circuitvision_tpu.enrich.client import FakeVLMClient
@@ -139,12 +146,33 @@ def bench_end_to_end(det_cfg, sam_cfg, yolo_vars, sam_vars, per_dev_batch: int):
     n_images = pipeline.batch_size * 10
     workload = [images[i % len(images)] for i in range(n_images)]
 
+    # Per-stage busy-time accounting (phase split in the output JSON).
+    T: dict = {}
+
+    def wrap(name, fn):
+        def timed(*a, **kw):
+            t0 = _time.perf_counter()
+            r = fn(*a, **kw)
+            T[name] = T.get(name, 0.0) + _time.perf_counter() - t0
+            return r
+
+        return timed
+
+    pipeline._detect_crop_phase = wrap("detect_crop", pipeline._detect_crop_phase)
+    pipeline._segment_phase = wrap("segment", pipeline._segment_phase)
+    pipeline._extract_nodes_chunk = wrap(
+        "node_extraction", pipeline._extract_nodes_chunk
+    )
+
     pipeline.analyze_many(workload[: pipeline.batch_size])  # warmup/compile
+    T.clear()
     t0 = time.perf_counter()
     results = pipeline.analyze_many(workload)
     dt = time.perf_counter() - t0
     assert all(r.netlist_text is not None for r in results)
-    return len(workload) / dt
+    n = len(workload)
+    phases = {k: round(v / n * 1000, 2) for k, v in T.items()}
+    return n / dt, phases
 
 
 def main():
@@ -240,7 +268,9 @@ def main():
     }
 
     if not args.skip_e2e:
-        e2e = bench_end_to_end(det_cfg, sam_cfg, yolo_vars, sam_vars, args.batch)
+        e2e, phases = bench_end_to_end(
+            det_cfg, sam_cfg, yolo_vars, sam_vars, args.batch
+        )
         result["end_to_end"] = {
             "metric": (
                 "end-to-end analyze_batch images/sec (full pipeline incl. host "
@@ -250,6 +280,11 @@ def main():
             "value": round(e2e, 3),
             "unit": "images/sec",
             "vs_baseline": round(e2e / (per_chip_target * n_dev), 3),
+            # Busy ms/img per pipeline stage (stages run in separate
+            # threads and OVERLAP; throughput ≈ 1/max(stage) plus 1-core
+            # GIL contention). detect_crop and segment include their
+            # blocking device waits.
+            "phase_busy_ms_per_image": phases,
         }
     print(json.dumps(result))
 
