@@ -61,33 +61,38 @@ def random_circuit(seed: int) -> tuple[np.ndarray, list[BBox]]:
     def vwire(x, y0, y1):
         mask[min(y0, y1) : max(y0, y1), x : x + t] = 255
 
+    # Rails 95-150 px apart: far enough for rung components, close enough
+    # that the crop stage's proximity clustering (threshold ≈ 2·avg
+    # component diagonal, src/circuit_analyzer.py:1003-1023) keeps the
+    # whole ladder in ONE cluster.
     n_rails = int(rng.integers(2, 5))
     margin_y = 70
-    rail_ys = np.sort(
-        rng.choice(np.arange(margin_y, h - margin_y, 8), n_rails, replace=False)
-    )
-    # keep rails at least 90 px apart so rung components fit between them
-    keep = [rail_ys[0]]
-    for y in rail_ys[1:]:
-        if y - keep[-1] >= 90:
-            keep.append(int(y))
-    rail_ys = keep
+    rail_ys = [int(rng.integers(margin_y, margin_y + 30))]
+    for _ in range(n_rails - 1):
+        nxt = rail_ys[-1] + int(rng.integers(95, 150))
+        if nxt > h - margin_y:
+            break
+        rail_ys.append(nxt)
     n_rails = len(rail_ys)
     if n_rails < 2:
-        rail_ys = [margin_y, h - margin_y]
+        rail_ys = [margin_y, min(h - margin_y, margin_y + 150)]
         n_rails = 2
 
     x_left = int(rng.integers(30, 70))
     x_right = int(w - rng.integers(30, 70))
     for y in rail_ys:
         hwire(y, x_left, x_right)
-    # side wires close the ladder into a loop
-    vwire(x_left, rail_ys[0], rail_ys[-1] + t)
-    vwire(x_right - t + 1, rail_ys[0], rail_ys[-1] + t)
+    # NO bare side wires: rails connect ONLY through component rungs, so
+    # every rung component bridges two distinct nets (a closed bare loop
+    # would leave most components single-noded → skipped by the
+    # reference's :1680-1684 guard → trivially thin netlists).
 
     def place_component(cls: str, cx: int, cy: int):
-        bw = int(rng.integers(26, 48))
-        bh = int(rng.integers(18, 40))
+        # Sizeable boxes: the crop clustering threshold scales with the
+        # average component diagonal, so realistic component sizes keep
+        # the ladder a single cluster.
+        bw = int(rng.integers(36, 64))
+        bh = int(rng.integers(40, 72))
         x0, y0 = cx - bw // 2, cy - bh // 2
         b = BBox(
             class_name=cls,
@@ -100,20 +105,25 @@ def random_circuit(seed: int) -> tuple[np.ndarray, list[BBox]]:
         boxes.append(b)
         return b
 
-    # component rungs between adjacent rails
-    n_rungs = int(rng.integers(2, 7))
-    rung_xs = np.sort(
-        rng.choice(
-            np.arange(x_left + 60, x_right - 60, 12),
-            min(n_rungs, max(1, (x_right - x_left - 120) // 12)),
-            replace=False,
-        )
-    )
-    for rx in rung_xs:
-        lo = int(rng.integers(0, n_rails - 1))
+    # component rungs between adjacent rails: every adjacent rail pair
+    # gets >= 2 rungs (a source + loads) so every net couples to others
+    n_rungs = max(int(rng.integers(2 * (n_rails - 1), 7)), 2 * (n_rails - 1))
+    # consecutive rungs 70-110 px apart (bounded gaps keep one cluster)
+    rung_xs = [x_left + 60 + int(rng.integers(0, 30))]
+    while len(rung_xs) < n_rungs and rung_xs[-1] + 110 < x_right - 60:
+        rung_xs.append(rung_xs[-1] + int(rng.integers(70, 110)))
+    rung_xs = np.asarray(rung_xs)
+    pair_assignment = [i % (n_rails - 1) for i in range(len(rung_xs))]
+    rng.shuffle(pair_assignment)
+    placed_source = False
+    for rx, lo in zip(rung_xs, pair_assignment):
         y0, y1 = rail_ys[lo], rail_ys[lo + 1]
         vwire(int(rx), y0, y1 + t)
-        cls = str(rng.choice(COMPONENT_CLASSES))
+        if not placed_source:
+            cls = str(rng.choice(["voltage.dc", "voltage.ac", "current.dc"]))
+            placed_source = True
+        else:
+            cls = str(rng.choice(COMPONENT_CLASSES))
         cy = int((y0 + y1) // 2 + rng.integers(-12, 13))
         place_component(cls, int(rx) + t // 2, cy)
 

@@ -41,6 +41,11 @@ class SynthCircuit:
     directions: dict           # {class: (direction, reason)} stage-1 VLM
     netlist_text: str          # pinned FINAL netlist (values merged)
     valueless_text: str        # pinned valueless netlist
+    category: str = "basic"    # eval report bucket
+    #: when set, write_eval_set stores the image PRE-rotated with this
+    #: EXIF orientation tag — the loader must auto-rotate it upright
+    #: (reference process_new_upload, src/analysis_pipeline.py:64-91)
+    exif_orientation: int = 0
 
 
 def _bbox(cls, x0, y0, x1, y1, conf=0.9):
@@ -250,15 +255,244 @@ def make_circuits() -> list[SynthCircuit]:
     return [golden(), loop(), parallel_r(), series_rl(), ac_rc()]
 
 
+# ---------------------------------------------------------------------------
+# Hostile eval categories (VERDICT r2 #7). Pinned netlists for these live in
+# pinned_netlists.json, generated by scripts/pin_eval_netlists.py, which runs
+# the full pipeline AND cross-checks the valueless netlist byte-for-byte
+# against the reference implementation's own topology chain before pinning.
+
+_CLASS_VALUES = {
+    "resistor": "1k", "capacitor": "1u", "capacitor.unpolarized": "1u",
+    "inductor": "10m", "voltage.dc": "5", "voltage.ac": "4:-45",
+    "current.dc": "2m", "diode": None, "diode.zener": None,
+    "diode.light_emitting": None, "transistor.bjt": None, "unknown": None,
+    "gnd": None, "terminal": None,
+}
+
+#: class-level stage-1 directions for the hostile sets (FakeVLMClient keys)
+_HOSTILE_DIRECTIONS = {
+    "voltage.dc": ("UP", "SIGN"),
+    "voltage.ac": ("UP", "SIGN"),
+    "diode": ("LEFT", "ARROW"),
+    "diode.zener": ("RIGHT", "ARROW"),
+    "diode.light_emitting": ("DOWN", "ARROW"),
+    "transistor.bjt": ("UP", "SIGN"),
+    "current.dc": ("DOWN", "ARROW"),
+    "unknown": ("UNKNOWN", "UNKNOWN"),
+}
+
+_NON_ENUM = {"text", "junction", "crossover", "explanatory", "circuit", "vss"}
+
+
+def _labels_for(boxes) -> list:
+    out = []
+    vid = 1
+    for b in boxes:
+        if b.class_name in _NON_ENUM:
+            continue
+        out.append(
+            {"id": str(vid), "class": b.class_name,
+             "value": _CLASS_VALUES.get(b.class_name)}
+        )
+        vid += 1
+    return out
+
+
+def _render_image(mask: np.ndarray, boxes) -> np.ndarray:
+    """White-background render: wires black, component glyphs as box
+    outlines (inside the detection box, so subtraction removes them —
+    the classical mask then recovers wires + in-box glyphs like a clean
+    scan)."""
+    img = np.full((mask.shape[0], mask.shape[1], 3), 255, np.uint8)
+    img[mask > 0] = 0
+    for b in boxes:
+        if b.class_name in _NON_ENUM:
+            continue
+        x0, y0 = b.xmin + 4, b.ymin + 4
+        x1, y1 = b.xmax - 4, b.ymax - 4
+        if x1 - x0 > 4 and y1 - y0 > 4:
+            img[y0:y1, x0 : x0 + 2] = 0
+            img[y0:y1, x1 - 2 : x1] = 0
+            img[y0 : y0 + 2, x0:x1] = 0
+            img[y1 - 2 : y1, x0:x1] = 0
+    return img
+
+
+def _pinned() -> dict:
+    import json as _json
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "pinned_netlists.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return _json.load(f)
+    return {}
+
+
+def _from_mask(name, category, mask, boxes, pins, directions=None,
+               exif_orientation=0) -> SynthCircuit:
+    pin = pins.get(name, {})
+    return SynthCircuit(
+        name=name,
+        image=_render_image(mask, boxes),
+        boxes=boxes,
+        wire_mask=mask,
+        vlm_labels=_labels_for(boxes),
+        directions=dict(directions or _HOSTILE_DIRECTIONS),
+        netlist_text=pin.get("final", ""),
+        valueless_text=pin.get("valueless", ""),
+        category=category,
+        exif_orientation=exif_orientation,
+    )
+
+
+def semiconductor_circuits(pins) -> list[SynthCircuit]:
+    """Randomized ladders with diode/transistor/source classes — pixel
+    thresholds 8/20 and ARROW/SIGN prefix overrides exercised end to end
+    from images."""
+    from .randomized import random_circuit
+
+    out = []
+    for i, seed in enumerate((2001, 2002, 2003, 2004, 2005, 2006)):
+        mask, boxes = random_circuit(seed)
+        for b in boxes:  # class-level directions come from the VLM stage
+            b.semantic_direction = None
+            b.semantic_reason = None
+        out.append(_from_mask(f"semi_{i}", "semiconductors", mask, boxes, pins))
+    return out
+
+
+def threshold_edge_circuits(pins) -> list[SynthCircuit]:
+    """V+R loop plus isolated specks with contour areas straddling the
+    4e-4 relative keep threshold (reference :410) — exercises the
+    keep/drop boundary and the id shifts it causes."""
+    out = []
+    for i, sides in enumerate(((4, 7), (9, 12), (15, 22))):
+        c = _Canvas(300, 400)
+        c.hwire(50, 50, 313)
+        c.hwire(250, 50, 313)
+        c.vwire(50, 50, 253)
+        c.vwire(310, 50, 253)
+        boxes = [
+            _bbox("voltage.dc", 35, 120, 70, 180),
+            _bbox("resistor", 150, 35, 250, 70),
+        ]
+        for b in boxes:
+            c.glyph_box(b.xmin + 4, b.ymin + 4, b.xmax - 4, b.ymax - 4)
+        # specks: at H=600 analysis space the areas scale by (600/300)² —
+        # these sides straddle 4e-4 · 600 · 800 ≈ 192 px² post-resize.
+        for j, s in enumerate(sides):
+            x = 120 + 90 * j
+            c.mask[285 : 285 + s, x : x + s] = 255
+            c.image[285 : 285 + s, x : x + s] = 0
+        out.append(
+            _from_mask(f"edge_{i}", "threshold-edge", c.mask, boxes, pins,
+                       directions={"voltage.dc": ("UP", "SIGN")})
+        )
+    return out
+
+
+def multi_cluster_circuits(pins) -> list[SynthCircuit]:
+    """Two separated circuit clusters + text near the main one — the crop
+    stage must pick the text-associated cluster (reference cluster
+    scoring, src/circuit_analyzer.py:1071-1136)."""
+    out = []
+    for i, (main_x, sec_x) in enumerate(((40, 520), (260, 40), (40, 470))):
+        c = _Canvas(360, 700)
+        # main cluster: V + 2R ladder
+        mx = main_x
+        c.hwire(60, mx, mx + 200)
+        c.hwire(280, mx, mx + 200)
+        c.vwire(mx, 60, 283)
+        c.vwire(mx + 100, 60, 283)
+        c.vwire(mx + 197, 60, 283)
+        boxes = [
+            _bbox("voltage.dc", mx - 15, 140, mx + 18, 210),
+            _bbox("resistor", mx + 85, 140, mx + 118, 210),
+            _bbox("resistor", mx + 182, 140, mx + 215, 210),
+            _bbox("text", mx + 40, 20, mx + 120, 38),
+        ]
+        # secondary cluster: small floating loop (no text)
+        sx = sec_x
+        c.hwire(120, sx, sx + 90)
+        c.hwire(200, sx, sx + 90)
+        c.vwire(sx, 120, 203)
+        c.vwire(sx + 87, 120, 203)
+        boxes.append(_bbox("resistor", sx + 30, 105, sx + 60, 135))
+        for b in boxes:
+            if b.class_name != "text":
+                c.glyph_box(b.xmin + 4, b.ymin + 4, b.xmax - 4, b.ymax - 4)
+        out.append(
+            _from_mask(f"cluster_{i}", "multi-cluster", c.mask, boxes, pins,
+                       directions={"voltage.dc": ("UP", "SIGN")})
+        )
+    return out
+
+
+def exif_circuits(pins) -> list[SynthCircuit]:
+    """Upright circuits stored PRE-rotated with EXIF orientation tags —
+    the ingest path must auto-rotate (reference EXIF transpose,
+    src/analysis_pipeline.py:67-77)."""
+    base = [golden(), loop()]
+    out = []
+    for i, (c, orient) in enumerate(zip(base, (6, 8))):
+        pin = pins.get(f"exif_{i}", {})
+        out.append(
+            dataclasses.replace(
+                c,
+                name=f"exif_{i}",
+                category="exif-rotated",
+                exif_orientation=orient,
+                netlist_text=pin.get("final", c.netlist_text),
+                valueless_text=pin.get("valueless", c.valueless_text),
+            )
+        )
+    return out
+
+
+def make_hostile_circuits() -> list[SynthCircuit]:
+    pins = _pinned()
+    return (
+        semiconductor_circuits(pins)
+        + threshold_edge_circuits(pins)
+        + multi_cluster_circuits(pins)
+        + exif_circuits(pins)
+    )
+
+
+def make_all_circuits() -> list[SynthCircuit]:
+    """5 basic + 14 hostile circuits (the full eval set)."""
+    return make_circuits() + make_hostile_circuits()
+
+
 def write_eval_set(root: str, circuits: Optional[Sequence[SynthCircuit]] = None):
     """Write circuits in the eval-set layout scripts/eval_pipeline.py reads."""
     from PIL import Image
 
-    circuits = circuits if circuits is not None else make_circuits()
+    # Inverse of PIL ImageOps.exif_transpose's per-tag transform: stored
+    # image such that the loader's transpose recovers the upright render.
+    inverse_transpose = {
+        3: Image.Transpose.ROTATE_180,
+        6: Image.Transpose.ROTATE_90,
+        8: Image.Transpose.ROTATE_270,
+    }
+
+    circuits = circuits if circuits is not None else make_all_circuits()
     for sub in ("images", "boxes", "masks", "netlists", "labels"):
         os.makedirs(os.path.join(root, sub), exist_ok=True)
+    categories = {}
     for c in circuits:
-        Image.fromarray(c.image).save(os.path.join(root, "images", f"{c.name}.png"))
+        categories[c.name] = c.category
+        img = Image.fromarray(c.image)
+        if c.exif_orientation in inverse_transpose:
+            stored = img.transpose(inverse_transpose[c.exif_orientation])
+            exif = Image.Exif()
+            exif[0x0112] = c.exif_orientation
+            stored.save(
+                os.path.join(root, "images", f"{c.name}.png"), exif=exif
+            )
+        else:
+            img.save(os.path.join(root, "images", f"{c.name}.png"))
         Image.fromarray(c.wire_mask).save(os.path.join(root, "masks", f"{c.name}.png"))
         with open(os.path.join(root, "boxes", f"{c.name}.json"), "w") as f:
             json.dump(
@@ -282,3 +516,5 @@ def write_eval_set(root: str, circuits: Optional[Sequence[SynthCircuit]] = None)
             json.dump(
                 {"labels": c.vlm_labels, "directions": c.directions}, f, indent=1
             )
+    with open(os.path.join(root, "categories.json"), "w") as f:
+        json.dump(categories, f, indent=1)

@@ -29,11 +29,25 @@ def rgb_to_gray(img: jax.Array) -> jax.Array:
     return img[..., 0] * 0.299 + img[..., 1] * 0.587 + img[..., 2] * 0.114
 
 
-def resize_bilinear(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
-    """Bilinear resize with half-pixel centers (cv2 INTER_LINEAR semantics)."""
+def resize_bilinear(
+    img: jax.Array, out_hw: tuple[int, int], antialias: bool = True
+) -> jax.Array:
+    """Bilinear resize with half-pixel centers.
+
+    antialias matters only when DOWNSCALING and selects between the two
+    conventions the pipeline needs:
+      * False → plain 2-tap bilinear == cv2.resize INTER_LINEAR (the
+        topology chain, reference resize_image_keep_aspect,
+        src/circuit_analyzer.py:787-809) and torch F.interpolate's
+        default (the mask upsample/postprocess, src/sam2_infer.py:117).
+      * True → triangle-filtered == torchvision Resize's tensor default
+        (SAM2 preprocessing, src/sam2_infer.py:44-47).
+    """
     h, w = out_hw
     shape = (h, w) + img.shape[2:]
-    return jax.image.resize(img.astype(jnp.float32), shape, method="linear")
+    return jax.image.resize(
+        img.astype(jnp.float32), shape, method="linear", antialias=antialias
+    )
 
 
 def resize_nearest(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
@@ -102,7 +116,10 @@ def letterbox(
     h, w = img_rgb_u8.shape[:2]
     scale = min(out_size / h, out_size / w)
     new_h, new_w = int(round(h * scale)), int(round(w * scale))
-    resized = resize_bilinear(img_rgb_u8.astype(jnp.float32), (new_h, new_w))
+    # ultralytics letterboxes with cv2.resize INTER_LINEAR → no antialias
+    resized = resize_bilinear(
+        img_rgb_u8.astype(jnp.float32), (new_h, new_w), antialias=False
+    )
     pad_y, pad_x = (out_size - new_h) // 2, (out_size - new_w) // 2
     canvas = jnp.full((out_size, out_size, 3), pad_value, dtype=jnp.float32)
     canvas = lax.dynamic_update_slice(canvas, resized, (pad_y, pad_x, 0))

@@ -187,7 +187,9 @@ class CircuitAnalyzerTPU:
             h, w = image_rgb.shape[:2]
             x = sam2_preprocess(jnp.asarray(image_rgb), self.cfg.sam2.resolution)[None]
             logits_sq, _iou = self._jit_segment_core(self.sam2_variables, x)
-            logits = jax.image.resize(logits_sq, (1, h, w), method="linear")[0]
+            logits = jax.image.resize(
+                logits_sq, (1, h, w), method="linear", antialias=False
+            )[0]  # torch F.interpolate default (src/sam2_infer.py:117)
             mask = (np.asarray(logits) > self.cfg.sam2.mask_threshold).astype(
                 np.uint8
             ) * 255

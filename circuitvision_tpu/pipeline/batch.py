@@ -214,7 +214,9 @@ class BatchedPipeline:
             w8 = (w + 7) // 8
 
             def finalize(logits):
-                full = jax.image.resize(logits, (h, w), method="linear")
+                full = jax.image.resize(
+                    logits, (h, w), method="linear", antialias=False
+                )  # torch F.interpolate default (src/sam2_infer.py:117)
                 m = (full > thr).astype(jnp.uint32)
                 padded = jnp.pad(m, ((0, 0), (0, w8 * 8 - w)))
                 bits = padded.reshape(h, w8, 8)

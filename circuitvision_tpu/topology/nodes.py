@@ -39,6 +39,17 @@ from ..ops.morphology import boundary_mask, enhance_lines
 from .matching import touch_matrix
 
 
+def _cv2_resize_u8(img_f32, out_hw):
+    """cv2.resize INTER_LINEAR on uint8 data: plain (non-antialiased)
+    bilinear, result materialized back to integer grey values — the
+    reference resizes the uint8 emptied mask BEFORE blurring
+    (src/circuit_analyzer.py:787-809), so the blur must see rounded
+    integers, not the float interpolants."""
+    return jnp.clip(
+        jnp.round(resize_bilinear(img_f32, out_hw, antialias=False)), 0, 255
+    )
+
+
 def subtract_component_boxes(
     mask: np.ndarray, bboxes: Sequence[BBox], preserve=taxonomy.MASK_PRESERVE_CLASSES
 ) -> np.ndarray:
@@ -82,7 +93,7 @@ def _prepare_raster(
     """Resize → enhance → binarize. Returns (enhanced_u8, fg_bool, sx, sy)."""
     h, w = emptied_mask.shape[:2]
     new_h, new_w = cfg.resize_height, int(cfg.resize_height * (w / h))
-    resized = resize_bilinear(jnp.asarray(emptied_mask, jnp.float32), (new_h, new_w))
+    resized = _cv2_resize_u8(jnp.asarray(emptied_mask, jnp.float32), (new_h, new_w))
     # Optional fused Pallas path: one VMEM band pass for the whole
     # blur+close chain (already rounded). Exact-match with the XLA chain
     # on TPU, but at the 600-row analysis raster XLA's own fusion is
@@ -188,7 +199,7 @@ def _topology_program(cfg: TopologyConfig, in_h: int, in_w: int, max_comp: int):
     w8 = (new_w + 7) // 8
 
     def program(mask_f32):
-        resized = resize_bilinear(mask_f32, (new_h, new_w))
+        resized = _cv2_resize_u8(mask_f32, (new_h, new_w))
         enhanced_u8 = _enhance_chain(resized, cfg)
         fg = enhanced_u8 > 0
         labels = label_components(fg, max_iters=256)
@@ -480,7 +491,7 @@ def _batched_stage_a(cfg: TopologyConfig, in_h: int, in_w: int, sub_bucket: int)
             & sub_valid
         ).any(-1)
         emptied = jnp.where(in_box, 0.0, mask_u8.astype(jnp.float32))
-        resized = resize_bilinear(emptied, (new_h, new_w))
+        resized = _cv2_resize_u8(emptied, (new_h, new_w))
         enhanced = _enhance_chain(resized, cfg)
         # Bit-packed copy for the host-CC path (np.unpackbits order) —
         # fused here so the host path costs ONE dispatch per image.

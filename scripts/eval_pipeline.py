@@ -83,8 +83,14 @@ def run_eval(args) -> dict:
     if not image_paths:
         raise FileNotFoundError(f"no images under {args.data}/images")
 
+    categories = {}
+    cat_path = os.path.join(args.data, "categories.json")
+    if os.path.exists(cat_path):
+        with open(cat_path) as f:
+            categories = json.load(f)
+
     pred_boxes, gt_boxes = [], []
-    pred_netlists, ref_netlists = [], []
+    pred_netlists, ref_netlists, netlist_names = [], [], []
     ious, accs = [], []
 
     for path in image_paths:
@@ -126,6 +132,7 @@ def run_eval(args) -> dict:
             with open(ref_net_path) as f:
                 ref_netlists.append(f.read())
             pred_netlists.append(result.netlist_text or "")
+            netlist_names.append(name)
 
         gt_mask_path = os.path.join(args.data, "masks", f"{name}.png")
         if os.path.exists(gt_mask_path) and result.sam_mask is not None:
@@ -162,6 +169,16 @@ def run_eval(args) -> dict:
         report["netlist_exact_match"] = netlist_exact_match(
             pred_netlists, ref_netlists
         )
+        # per-category breakdown (hostile eval sets, VERDICT r2 #7)
+        by_cat: dict = {}
+        for name, pred, ref in zip(netlist_names, pred_netlists, ref_netlists):
+            cat = categories.get(name, "basic")
+            ok, total = by_cat.get(cat, (0, 0))
+            by_cat[cat] = (ok + int(pred == ref), total + 1)
+        report["netlist_exact_match_by_category"] = {
+            cat: {"match": ok / total, "n": total}
+            for cat, (ok, total) in sorted(by_cat.items())
+        }
     return report
 
 

@@ -9,7 +9,7 @@ import os
 import numpy as np
 import pytest
 
-from circuitvision_tpu.eval.synth import make_circuits, write_eval_set
+from circuitvision_tpu.eval.synth import make_all_circuits, write_eval_set
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EVAL_DATA = os.path.join(REPO, "eval_data")
@@ -47,8 +47,15 @@ class TestEvalEndToEnd:
         from eval_pipeline import run_eval
 
         report = run_eval(_args(eval_dir))
-        assert report["images"] == 5
+        assert report["images"] == 19
         assert report["netlist_exact_match"] == 1.0
+        by_cat = report["netlist_exact_match_by_category"]
+        assert set(by_cat) == {
+            "basic", "semiconductors", "threshold-edge", "multi-cluster",
+            "exif-rotated",
+        }
+        for cat, stats in by_cat.items():
+            assert stats["match"] == 1.0, (cat, stats)
         # Classical mask vs GT wire raster: near-perfect on clean strokes
         # (component glyphs inside boxes account for the gap).
         assert report["segmentation"]["pixel_accuracy"] > 0.98
@@ -60,10 +67,12 @@ class TestEvalEndToEnd:
             pytest.skip("no checked-in eval_data/")
         from PIL import Image
 
-        for c in make_circuits():
-            img = np.asarray(
-                Image.open(os.path.join(EVAL_DATA, "images", f"{c.name}.png"))
-            )
+        from circuitvision_tpu.io.image_io import load_image
+
+        for c in make_all_circuits():
+            # load_image applies EXIF rotation — the stored image must
+            # come back upright for every circuit, including exif_*.
+            img = load_image(os.path.join(EVAL_DATA, "images", f"{c.name}.png"))
             np.testing.assert_array_equal(img, c.image)
             with open(os.path.join(EVAL_DATA, "netlists", f"{c.name}.cir")) as f:
                 assert f.read() == c.netlist_text
