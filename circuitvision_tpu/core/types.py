@@ -225,4 +225,8 @@ class AnalysisResult:
     contour_visualization: Optional[np.ndarray] = None
     #: contour viz + cyan terminal contact points (reference :1598-1601)
     connection_points_visualization: Optional[np.ndarray] = None
+    #: persistent_uid → padded crop sent to the direction VLM (the
+    #: reference's analyzer.last_vlm_input_images debug store,
+    #: app.py:643-683)
+    vlm_direction_crops: dict = dataclasses.field(default_factory=dict)
     timings: StageTimings = dataclasses.field(default_factory=StageTimings)

@@ -25,13 +25,16 @@ def enrich_directions(
     bboxes: Sequence[BBox],
     client: Optional[VLMClient],
     cfg: Optional[EnrichConfig] = None,
+    debug_store: Optional[dict] = None,
 ) -> list[BBox]:
     """Return new boxes with semantic_direction/reason filled.
 
     Eligible classes (taxonomy.DIRECTION_CLASSES) get a padded crop sent
     to the VLM; others get direction None (reference :2213-2215). With no
     client, everything is left unenriched (graceful degradation,
-    src/analysis_pipeline.py:141-145).
+    src/analysis_pipeline.py:141-145). When `debug_store` is given, each
+    VLM input crop is stored under its component's persistent_uid (the
+    reference's last_vlm_input_images debug surface, app.py:643-683).
     """
     cfg = cfg or EnrichConfig()
     out = [dataclasses.replace(b) for b in bboxes]
@@ -58,6 +61,8 @@ def enrich_directions(
             b.semantic_direction = "UNKNOWN"
             b.semantic_reason = "UNKNOWN"
             continue
+        if debug_store is not None:
+            debug_store[b.persistent_uid] = crop
         jobs.append((i, crop, b.class_name))
 
     if not jobs:

@@ -139,6 +139,11 @@ PaddedLayerNorm = TrunkLayerNorm
 #: flash (block_q 1024 / block_k_major 2048 / block_k 1024) = 5.45 ms/call
 #: vs 10.75 ms for XLA einsum attention; the stock default block sizes
 #: LOSE at 18.5 ms — tuning matters more than the kernel choice.
+#: test override for the fused-kernel gate: None → auto (TPU backend
+#: only); True/False force the gate (CPU CI initializes the fused param
+#: tree under jax.eval_shape without executing kernels — ADVICE r2 #2).
+_FORCE_FUSED = None
+
 FLASH_MIN_SEQ = 2048
 
 
@@ -308,12 +313,22 @@ class MultiScaleBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         true_out = self.true_dim_out or self.dim_out
-        on_tpu = jax.default_backend() == "tpu"
+        on_tpu = (
+            _FORCE_FUSED
+            if _FORCE_FUSED is not None
+            else jax.default_backend() == "tpu"
+        )
         use_fused_attn = (
             self.fused_window_attn
             and not self.q_stride
             and self.dim == self.dim_out
             and self.window_size == 0
+            # kernel preconditions (ADVICE r2 #3): token count per window
+            # must tile into 8-row sublanes and channels must split evenly
+            # across heads; non-default window specs fall back to the
+            # module path instead of failing Mosaic compilation.
+            and (x.shape[1] * x.shape[2]) % 8 == 0
+            and self.dim_out % self.num_heads == 0
             and on_tpu
         )
         use_fused_mlp = on_tpu

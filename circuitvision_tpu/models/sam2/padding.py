@@ -133,3 +133,38 @@ def pad_trunk_params(
         out[f"blocks_{i}"] = nb
         true_dim, dim = true_out, dim_out
     return out
+
+
+def maybe_pad_trunk_variables(variables: dict, cfg) -> dict:
+    """Pad a NATIVE-width checkpoint's trunk to cfg.trunk_pad_multiple.
+
+    Loading a converted (native-width) checkpoint into a model built with
+    a nonzero pad multiple would otherwise fail with a parameter shape
+    mismatch (ADVICE r2). No-op when padding is off, the tree has no
+    trunk, or the trunk is already padded.
+    """
+    pm = getattr(cfg, "trunk_pad_multiple", 0)
+    if not pm:
+        return variables
+    params = variables.get("params", variables)
+    trunk = params.get("trunk")
+    if trunk is None or "patch_embed_proj" not in trunk:
+        return variables
+    padded_width = _rup(cfg.embed_dim, pm)
+    kernel = np.asarray(trunk["patch_embed_proj"]["kernel"])
+    if kernel.shape[-1] == padded_width:
+        return variables  # already padded
+    new_trunk = pad_trunk_params(
+        trunk,
+        embed_dim=cfg.embed_dim,
+        num_heads=cfg.num_heads,
+        stages=tuple(cfg.stages),
+        pad_multiple=pm,
+    )
+    new_params = dict(params)
+    new_params["trunk"] = new_trunk
+    if "params" in variables:
+        out = dict(variables)
+        out["params"] = new_params
+        return out
+    return new_params

@@ -94,6 +94,11 @@ def mlp_block(
         hidden_chunk = hidden
         while hidden_chunk > cap and hidden_chunk % 2 == 0:
             hidden_chunk //= 2
+    if hidden % hidden_chunk != 0:
+        raise ValueError(
+            f"hidden_chunk {hidden_chunk} must divide hidden {hidden} "
+            "(a non-divisor would silently truncate the hidden dimension)"
+        )
     n_chunks = hidden // hidden_chunk
     if not row_tile:
         row_tile = min(t, 512)

@@ -100,11 +100,18 @@ class CircuitAnalyzerTPU:
             try:
                 sdt = compute_dtype(self.cfg.sam2.dtype)
                 self.sam2 = SAM2ImageSegmenter(cfg=self.cfg.sam2, dtype=sdt)
-                self.sam2_variables = (
-                    sam2_variables
-                    if sam2_variables is not None
-                    else sam2_init(self.sam2, jax.random.fold_in(rng, 1))
-                )
+                if sam2_variables is not None:
+                    # Native-width checkpoints auto-pad when the config
+                    # asks for MXU channel padding (ADVICE r2 #1).
+                    from ..models.sam2.padding import maybe_pad_trunk_variables
+
+                    self.sam2_variables = maybe_pad_trunk_variables(
+                        sam2_variables, self.cfg.sam2
+                    )
+                else:
+                    self.sam2_variables = sam2_init(
+                        self.sam2, jax.random.fold_in(rng, 1)
+                    )
             except Exception:
                 logger.exception("SAM2 initialization failed; disabling SAM2")
                 self.use_sam2 = False
@@ -300,8 +307,10 @@ class CircuitAnalyzerTPU:
         t0 = time.time()
         try:
             result.bboxes = enrich_directions(
-                image_for_analysis, result.bboxes, self.vlm_client, cfg.enrich
+                image_for_analysis, result.bboxes, self.vlm_client, cfg.enrich,
+                debug_store=result.vlm_direction_crops,
             )
+            self.last_vlm_input_images = result.vlm_direction_crops
         except Exception:
             logger.exception("direction enrichment failed; continuing")
         result.timings.record("VLM Direction Enrichment", time.time() - t0)

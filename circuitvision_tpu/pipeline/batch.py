@@ -446,7 +446,8 @@ class BatchedPipeline:
 
         try:
             result.bboxes = enrich_directions(
-                st.crop, result.bboxes, self.analyzer.vlm_client, cfg.enrich
+                st.crop, result.bboxes, self.analyzer.vlm_client, cfg.enrich,
+                debug_store=result.vlm_direction_crops,
             )
         except Exception:
             logger.exception("direction enrichment failed; continuing")

@@ -89,6 +89,10 @@ function render(){
  if(R.annotated) t+='<img class="result" src="data:image/png;base64,'+R.annotated+'"><br>';
  t+='<table><tr><th>class</th><th>conf</th><th>box</th></tr>'+R.bboxes.map(b=>
   '<tr><td>'+b.class+'</td><td>'+b.confidence.toFixed(2)+'</td><td>['+b.xmin+','+b.ymin+','+b.xmax+','+b.ymax+']</td></tr>').join('')+'</table>';
+ if(R.vlm_crops&&R.vlm_crops.length){t+='<h3>Source directions (VLM inputs)</h3>';
+  t+=R.vlm_crops.map(c=>'<div style="display:inline-block;margin:4px;text-align:center">'+
+   '<img width="100" src="data:image/png;base64,'+c.img+'"><br><small>'+c.class+
+   ' <code>'+c.direction+'</code>;<code>'+c.reason+'</code>\u2192<code>'+c.interpreted+'</code></small></div>').join('');}
  t+='<h3>Timings</h3><table>'+Object.entries(R.timings).map(([k,v])=>
   '<tr><td>'+k+'</td><td>'+(v*1000).toFixed(1)+' ms</td></tr>').join('')+'</table>';
  document.getElementById('p0').innerHTML=t;
@@ -98,7 +102,12 @@ function render(){
  if(R.node_viz) s+='<h3>Nodes</h3><img class="result" src="data:image/png;base64,'+R.node_viz+'">';
  if(R.contour_viz) s+='<h3>Wire contours</h3><img class="result" src="data:image/png;base64,'+R.contour_viz+'">';
  if(R.connection_viz) s+='<h3>Connection points</h3><img class="result" src="data:image/png;base64,'+R.connection_viz+'">';
- if(R.crop) s+='<h3>Crop decision</h3><pre>'+JSON.stringify(R.crop,null,2)+'</pre>';
+ if(R.crop){s+='<h3>Cropping details</h3>';
+  s+=R.crop.applied?'<div>\u2705 Cropping applied.</div>':'<div>\u26a0\ufe0f Cropping NOT applied. Reason: '+(R.crop.reason||'Unknown')+'</div>';
+  s+='<div>Dimensions (WxH): <code>'+JSON.stringify(R.crop.original_dims)+'</code> \u2192 <code>'+JSON.stringify(R.crop.cropped_dims)+'</code></div>';
+  s+='<div>Basis bbox: <code>'+JSON.stringify(R.crop.basis_bbox)+'</code>, clusters: '+R.crop.clusters+', threshold: '+R.crop.clustering_threshold+', source: '+R.crop.source+'</div>';
+  s+=(R.crop.text_expansions&&R.crop.text_expansions.length)?'<div>Text-based expansion: '+R.crop.text_expansions.length+' region(s)</div>':'<div>Text-based expansion: none</div>';
+  s+='<div>Final crop window: <code>'+JSON.stringify(R.crop.window)+'</code></div>';}
  document.getElementById('p1').innerHTML=s||'No mask.';
  let n='<h3>Netlist ('+R.nodes+' nodes)</h3><textarea id="net">'+R.netlist_text+'</textarea>';
  n+='<br><button class="action" onclick="finalNetlist()">Get Final Netlist (VLM)</button>';
@@ -126,6 +135,41 @@ async function runSpice(){
   (j.phasors?'<h4>Phasor diagram</h4><img class="result" src="data:image/png;base64,'+j.phasors+'">':'')
   : '<pre style="color:#f87171">'+j.error+'</pre>';}
 </script></body></html>"""
+
+
+def _vlm_direction_gallery(result) -> list:
+    """Per-component VLM direction crops + interpreted type — the
+    reference's "Debug: Source Directions" expander (app.py:643-683)."""
+    from .core import taxonomy
+
+    out = []
+    for b in result.bboxes:
+        uid = b.persistent_uid
+        if (
+            not uid
+            or uid not in result.vlm_direction_crops
+            or b.semantic_direction is None
+        ):
+            continue
+        interpreted = b.class_name
+        if b.class_name in taxonomy.VOLTAGE_CLASSES and b.semantic_reason == "ARROW":
+            interpreted = "current.ac" if ".ac" in b.class_name else "current.dc"
+        elif (
+            b.class_name in taxonomy.CURRENT_SOURCE_CLASSES
+            and b.semantic_reason == "SIGN"
+        ):
+            interpreted = "voltage.ac" if ".ac" in b.class_name else "voltage.dc"
+        out.append(
+            {
+                "uid": uid,
+                "class": b.class_name,
+                "direction": b.semantic_direction,
+                "reason": b.semantic_reason,
+                "interpreted": interpreted,
+                "img": _png_b64(result.vlm_direction_crops[uid]),
+            }
+        )
+    return out
 
 
 class Handler(BaseHTTPRequestHandler):
@@ -201,10 +245,16 @@ class Handler(BaseHTTPRequestHandler):
                                 "reason": result.crop_info.reason_for_no_crop,
                                 "clusters": result.crop_info.num_clusters,
                                 "source": result.crop_info.decision_source,
+                                "original_dims": result.crop_info.original_dims,
+                                "cropped_dims": result.crop_info.cropped_dims,
+                                "basis_bbox": result.crop_info.basis_bbox,
+                                "clustering_threshold": result.crop_info.clustering_threshold,
+                                "text_expansions": result.crop_info.text_expansions,
                             }
                             if result.crop_info
                             else None
                         ),
+                        "vlm_crops": _vlm_direction_gallery(result),
                         "enum_img": _png_b64(result.enum_image),
                         "annotated": _png_b64(annotated),
                     }

@@ -294,6 +294,29 @@ class TestChannelPadding:
             scale = float(jnp.abs(a).max())
             assert err / max(scale, 1e-9) < 1e-4
 
+    def test_native_checkpoint_autopads_on_load(self):
+        """A native-width variables tree loads into a pad-configured model
+        via maybe_pad_trunk_variables (the checkpoint-load wiring of
+        ADVICE r2 #1) and produces finite outputs."""
+        from circuitvision_tpu.models.sam2.padding import maybe_pad_trunk_variables
+
+        native = SAM2ImageSegmenter(cfg=TINY)
+        v_native = init_params(native, jax.random.PRNGKey(0))
+
+        cfg_p = dataclasses.replace(TINY, trunk_pad_multiple=64)
+        padded_model = SAM2ImageSegmenter(cfg=cfg_p)
+        v_padded = maybe_pad_trunk_variables(v_native, cfg_p)
+        # idempotent on an already-padded tree
+        again = maybe_pad_trunk_variables(v_padded, cfg_p)
+        assert again is v_padded or jax.tree.all(
+            jax.tree.map(lambda a, b: a.shape == b.shape, again, v_padded)
+        )
+        high, low, iou = padded_model.apply(
+            v_padded,
+            jnp.zeros((1, cfg_p.resolution, cfg_p.resolution, 3), jnp.float32),
+        )
+        assert np.isfinite(np.asarray(high)).all()
+
     def test_padded_segmenter_forward(self):
         """Full segmenter with trunk padding compiles and runs (the neck
         consumes true-width features, so only the trunk changes)."""

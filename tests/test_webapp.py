@@ -56,6 +56,43 @@ class TestWebApp:
         out = _post(server + "/analyze", buf.getvalue())
         assert "netlist_text" in out and "timings" in out
         assert isinstance(out["bboxes"], list)
+        # crop-decision debug surface (reference app.py:559-594)
+        assert out["crop"] is None or {
+            "applied", "window", "reason", "original_dims", "cropped_dims",
+            "basis_bbox", "clustering_threshold", "text_expansions",
+        } <= set(out["crop"])
+        assert isinstance(out["vlm_crops"], list)
+
+    def test_vlm_direction_gallery(self, server):
+        """With oracle detections incl. a voltage source, the analyze
+        response carries the per-component VLM direction crops + the
+        interpreted type (reference app.py:643-683)."""
+        import copy
+
+        from circuitvision_tpu.core.types import BBox
+        from circuitvision_tpu.eval.synth import make_circuits
+
+        c = make_circuits()[1]  # loop: V + R
+        analyzer = webapp._STATE["analyzer"]
+        old_bboxes, old_client = analyzer.bboxes, analyzer.vlm_client
+        analyzer.bboxes = lambda img: copy.deepcopy(c.boxes)
+        analyzer.vlm_client = FakeVLMClient(
+            labels=c.vlm_labels, directions={"voltage.dc": ("UP", "ARROW")}
+        )
+        try:
+            buf = io.BytesIO()
+            Image.fromarray(c.image).save(buf, format="PNG")
+            out = _post(server + "/analyze", buf.getvalue())
+        finally:
+            analyzer.bboxes = old_bboxes
+            analyzer.vlm_client = old_client
+        crops = out["vlm_crops"]
+        assert crops, "expected direction crops for the voltage source"
+        v = next(x for x in crops if x["class"] == "voltage.dc")
+        assert v["direction"] == "UP" and v["reason"] == "ARROW"
+        # voltage + ARROW reads as a current source (reference app.py:664-668)
+        assert v["interpreted"] == "current.dc"
+        assert isinstance(v["img"], str) and len(v["img"]) > 100
 
     def test_mode_endpoint(self, server):
         out = _post(server + "/mode", b"V1 1 0 0 AC 1 0\nR1 1 0 1k")
