@@ -150,8 +150,13 @@ class C3k2(nn.Module):
             if self.c3k:
                 cur = C3k(hidden, 2, self.shortcut, dtype=self.dtype, name=f"m_{i}")(cur)
             else:
+                # ultralytics C3k2 builds Bottleneck(self.c, self.c,
+                # shortcut, g) with the DEFAULT e=0.5 — the inner width is
+                # half the running channel width. Validated against the
+                # published yolo11{n,s,l,x} parameter counts and the torch
+                # twin (tests/torch_twin_yolo.py).
                 cur = Bottleneck(
-                    hidden, self.shortcut, (3, 3), 1.0, dtype=self.dtype, name=f"m_{i}"
+                    hidden, self.shortcut, (3, 3), 0.5, dtype=self.dtype, name=f"m_{i}"
                 )(cur)
             outs.append(cur)
         return ConvBN(self.features, 1, dtype=self.dtype, name="cv2")(

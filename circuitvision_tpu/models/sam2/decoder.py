@@ -128,6 +128,7 @@ class MaskDecoder(nn.Module):
     """SAM2 mask decoder (object-score token variant)."""
 
     transformer_dim: int = 256
+    mlp_dim: int = 2048  # two-way transformer MLP width
     num_multimask_outputs: int = 3
     iou_head_depth: int = 3
     iou_head_hidden_dim: int = 256
@@ -177,7 +178,10 @@ class MaskDecoder(nn.Module):
         tokens = jnp.concatenate([output_tokens, sparse], axis=1)
 
         src = image_embeddings + dense_prompt_embeddings.astype(image_embeddings.dtype)
-        hs, src_out = TwoWayTransformer(dtype=self.dtype, name="transformer")(
+        hs, src_out = TwoWayTransformer(
+            embedding_dim=self.transformer_dim, mlp_dim=self.mlp_dim,
+            dtype=self.dtype, name="transformer",
+        )(
             src, image_pe, tokens
         )
         iou_token_out = hs[:, s]

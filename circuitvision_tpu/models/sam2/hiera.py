@@ -413,6 +413,50 @@ class MultiScaleBlock(nn.Module):
         return x + y
 
 
+def _torch_bicubic(img: jax.Array, out_hw: tuple) -> jax.Array:
+    """Bicubic resize matching torch F.interpolate(mode="bicubic",
+    align_corners=False): cubic convolution with a = -0.75, half-pixel
+    source coordinates, indices clamped at the borders.
+
+    jax.image.resize's "cubic" is the Keys kernel with a = -0.5, which
+    diverges ~4e-2 from torch on the Hiera pos-embed interpolation
+    (hieradet _get_pos_embed) — enough to shift converted-checkpoint
+    logits. Pinned by tests/test_full_model_parity.py.
+    """
+    a = -0.75
+
+    def axis_weights(in_size: int, out_size: int):
+        scale = in_size / out_size
+        src = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5
+        i0 = jnp.floor(src)
+        t = src - i0
+        d = jnp.stack([1.0 + t, t, 1.0 - t, 2.0 - t])  # |dist| per tap
+        ad = jnp.abs(d)
+        w = jnp.where(
+            ad <= 1.0,
+            (a + 2.0) * ad**3 - (a + 3.0) * ad**2 + 1.0,
+            jnp.where(
+                ad < 2.0,
+                a * ad**3 - 5.0 * a * ad**2 + 8.0 * a * ad - 4.0 * a,
+                0.0,
+            ),
+        )  # (4, out)
+        idx = jnp.clip(
+            jnp.stack([i0 - 1, i0, i0 + 1, i0 + 2]).astype(jnp.int32),
+            0,
+            in_size - 1,
+        )
+        return w, idx
+
+    _, h_in, w_in, _ = img.shape
+    out_h, out_w = out_hw
+    wh, ih = axis_weights(h_in, out_h)
+    x = (img[:, ih] * wh[None, :, :, None, None]).sum(axis=1)  # (1, out_h, W, C)
+    ww, iw = axis_weights(w_in, out_w)
+    x = (x[:, :, iw] * ww[None, None, :, :, None]).sum(axis=2)  # (1, out_h, out_w, C)
+    return x
+
+
 class Hiera(nn.Module):
     """Hiera trunk. Input (B, S, S, 3); returns 4 feature maps
     high-res-first: strides 4/8/16/32, dims d, 2d, 4d, 8d."""
@@ -456,7 +500,7 @@ class Hiera(nn.Module):
             nn.initializers.zeros,
             (1, self.window_spec[0], self.window_spec[0], p_embed),
         )
-        pos = jax.image.resize(bkg, (1, h, w, p_embed), method="cubic")
+        pos = _torch_bicubic(bkg, (h, w))
         tiles = (1, h // self.window_spec[0], w // self.window_spec[0], 1)
         pos = pos + jnp.tile(win, tiles)
         x = x + pos.astype(x.dtype)

@@ -193,6 +193,7 @@ class SAM2ImageSegmenter(nn.Module):
         # 4. Mask decoder (single-mask path with stability fallback).
         low_res, iou_pred, _tokens, _obj = MaskDecoder(
             transformer_dim=cfg.d_model,
+            mlp_dim=cfg.decoder_mlp_dim,
             num_multimask_outputs=cfg.num_multimask_outputs,
             iou_head_depth=cfg.iou_head_depth,
             iou_head_hidden_dim=cfg.iou_head_hidden_dim,

@@ -90,9 +90,12 @@ class YOLOv11(nn.Module):
         x = ConvBN(ch[3], 3, 2, dtype=dt, name="b3")(x)  # P3/8
         p3 = C3k2(ch[4], n, c3k, 0.25, dtype=dt, name="b4")(x)
         x = ConvBN(ch[5], 3, 2, dtype=dt, name="b5")(p3)  # P4/16
-        p4 = C3k2(ch[6], n, c3k, 0.5, dtype=dt, name="b6")(x)
+        # yolo11.yaml marks layers 6, 8 and 22 c3k=True at EVERY scale
+        # (the m/l/x depth override only upgrades the remaining C3k2s);
+        # validated against published per-scale parameter counts.
+        p4 = C3k2(ch[6], n, True, 0.5, dtype=dt, name="b6")(x)
         x = ConvBN(ch[7], 3, 2, dtype=dt, name="b7")(p4)  # P5/32
-        x = C3k2(ch[8], n, c3k, 0.5, dtype=dt, name="b8")(x)
+        x = C3k2(ch[8], n, True, 0.5, dtype=dt, name="b8")(x)
         x = SPPF(ch[9], 5, dtype=dt, name="b9")(x)
         p5 = C2PSA(ch[10], n, dtype=dt, name="b10")(x)
 
@@ -107,7 +110,7 @@ class YOLOv11(nn.Module):
             jnp.concatenate([d, h13], axis=-1)
         )  # P4 out
         d = ConvBN(hc4, 3, 2, dtype=dt, name="h20")(h19)
-        h22 = C3k2(hc5, n, c3k, 0.5, dtype=dt, name="h22")(
+        h22 = C3k2(hc5, n, True, 0.5, dtype=dt, name="h22")(
             jnp.concatenate([d, p5], axis=-1)
         )  # P5 out
 
