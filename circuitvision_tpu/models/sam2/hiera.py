@@ -144,6 +144,12 @@ PaddedLayerNorm = TrunkLayerNorm
 #: tree under jax.eval_shape without executing kernels — ADVICE r2 #2).
 _FORCE_FUSED = None
 
+#: perf-bisection toggles for the two round-3 fused paths (q-pool
+#: transition kernel, global-block shell kernels). Production default ON;
+#: scripts/profile_* flip them to attribute step-time deltas per path.
+_ENABLE_FUSED_QPOOL = True
+_ENABLE_FUSED_GLOBAL = True
+
 FLASH_MIN_SEQ = 2048
 
 
@@ -332,7 +338,87 @@ class MultiScaleBlock(nn.Module):
             and on_tpu
         )
         use_fused_mlp = on_tpu
-        if use_fused_attn:
+        # q-pool transition blocks (Hiera-L 2/8/44): LN1 + stage-transition
+        # proj + 2×2 pools + qkv + pooled-q window attention + proj +
+        # residual as one Pallas kernel (ops/pallas/window_attn.
+        # qpool_attn_block). Needs an even window that tiles the feature
+        # map (pooling then commutes with partitioning) and a true stage
+        # transition (the proj shortcut must exist).
+        use_fused_qpool = (
+            self.q_stride
+            and self.window_size > 0
+            and self.window_size % 2 == 0
+            and (self.window_size**2) % 8 == 0
+            and x.shape[1] % self.window_size == 0
+            and x.shape[2] % self.window_size == 0
+            and self.dim_out % self.num_heads == 0
+            and (self.true_dim or self.dim) != (self.true_dim_out or self.dim_out)
+            and on_tpu
+            and _ENABLE_FUSED_QPOOL
+        )
+        if use_fused_qpool:
+            from ...ops.pallas.window_attn import qpool_attn_block
+
+            lns, lnb = _LNParams(self.dim, self.true_dim, name="norm1")()
+            wskip, bskip = _DenseParams(self.dim_out, name="proj")(self.dim)
+            (wqkv, bqkv), (wproj, bproj) = _AttnParams(self.dim_out, name="attn")(
+                self.dim
+            )
+            _b, fh, fw, c = x.shape
+            win = self.window_size
+            xw, _ = window_partition(x, win)  # divisible ⇒ no padding
+            nwm = xw.shape[0]
+            out = qpool_attn_block(
+                xw.reshape(nwm * win * win, c),
+                lns, lnb, wskip, bskip, wqkv, bqkv, wproj, bproj,
+                heads=self.num_heads, win=win,
+                true_dim=self.true_dim or self.dim,
+                scale_dim=true_out // self.num_heads,
+            )
+            x = out.reshape(nwm, win // 2, win // 2, self.dim_out)
+            x = window_unpartition(
+                x, win // 2, (fh // 2, fw // 2), (fh // 2, fw // 2)
+            )
+        elif (
+            # Global-attention blocks (Hiera-L 23/33/43): LN1 + qkv run as
+            # one kernel emitting q/k/v directly in the flash layout
+            # (B, H, N, 128), and proj + residual as a second kernel — no
+            # XLA reshape/transpose/pad shell between them
+            # (ops/pallas/global_attn).
+            not self.q_stride
+            and self.window_size == 0
+            and not self.fused_window_attn
+            and self.dim == self.dim_out
+            and self.dim % self.num_heads == 0
+            and (self.dim // self.num_heads) <= 128
+            and x.shape[1] * x.shape[2] >= FLASH_MIN_SEQ
+            and on_tpu
+            and _ENABLE_FUSED_GLOBAL
+        ):
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention,
+            )
+
+            from ...ops.pallas.global_attn import attn_proj_residual, ln_qkv_flash
+
+            lns, lnb = _LNParams(self.dim, self.true_dim, name="norm1")()
+            (wqkv, bqkv), (wproj, bproj) = _AttnParams(self.dim_out, name="attn")(
+                self.dim
+            )
+            b_, fh, fw, c = x.shape
+            n = fh * fw
+            xr = x.reshape(b_, n, c)
+            q, k, v = ln_qkv_flash(
+                xr, lns, lnb, wqkv, bqkv,
+                heads=self.num_heads, true_dim=self.true_dim or self.dim,
+            )
+            o = flash_attention(
+                q, k, v, causal=False,
+                sm_scale=(true_out // self.num_heads) ** -0.5,
+                block_sizes=_flash_block_sizes(n),
+            )
+            x = attn_proj_residual(xr, o, wproj, bproj).reshape(b_, fh, fw, c)
+        elif use_fused_attn:
             from ...ops.pallas.window_attn import window_attn_block
 
             lns, lnb = _LNParams(self.dim, self.true_dim, name="norm1")()

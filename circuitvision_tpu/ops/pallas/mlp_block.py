@@ -87,10 +87,15 @@ def mlp_block(
     dtype = x.dtype
     if not hidden_chunk:
         # Largest divisor of `hidden` whose W0/W1 chunk pair fits a
-        # ~11 MB bf16 budget — fewer chunks win decisively (stage-3:
+        # ~9 MB bf16 budget — fewer chunks win decisively (stage-3:
         # whole-hidden 2.7 ms vs 256-chunks 3.6 ms standalone; each
         # extra chunk pass re-streams the row tile and accumulator).
-        cap = max(128, 11_000_000 // (2 * c * 2))
+        # 9 MB (down from 11) keeps stage 3 (C=576) whole-hidden while
+        # dropping stage 4 (C=1152) to 4 chunks: at 2 chunks the
+        # double-buffered weight pair + the (rows, chunk) f32 GELU
+        # intermediate measured 33.9 MB of scoped VMEM against the 32 MB
+        # stack limit once upstream layouts shifted (q-pool kernel).
+        cap = max(128, 9_000_000 // (2 * c * 2))
         hidden_chunk = hidden
         while hidden_chunk > cap and hidden_chunk % 2 == 0:
             hidden_chunk //= 2

@@ -259,6 +259,190 @@ class TestWindowAttnBlock:
         assert err / float(jnp.abs(per_window).max()) < 1e-5
 
 
+class TestQPoolAttnBlock:
+    """ops/pallas/window_attn.qpool_attn_block vs the MultiScaleBlock
+    q_stride module math (LN → skip proj+pool2x → windowed attention with
+    2×2-pooled q → proj → residual)."""
+
+    def _make(self, seed=0):
+        rng = np.random.default_rng(seed)
+        B, S, WIN, CI, CO, H = 2, 8, 4, 32, 64, 2
+        arr = lambda shp, s: jnp.asarray(rng.standard_normal(shp) * s, jnp.float32)
+        return (
+            B, S, WIN, CI, CO, H,
+            arr((B, S, S, CI), 1.0),
+            arr((CI,), 1.0), arr((CI,), 1.0),        # ln scale/bias
+            arr((CI, CO), 0.1), arr((CO,), 0.05),     # skip proj
+            arr((CI, 3 * CO), 0.1), arr((3 * CO,), 0.05),  # qkv
+            arr((CO, CO), 0.1), arr((CO,), 0.05),     # attn proj
+        )
+
+    def _reference(self, B, S, WIN, CI, CO, H, x, lns, lnb, wsk, bsk, wqkv, bqkv, wpr, bpr):
+        from circuitvision_tpu.models.sam2.hiera import (
+            _pool2x, window_partition, window_unpartition,
+        )
+
+        hd = CO // H
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, -1, keepdims=True)
+        var = jnp.maximum(jnp.mean(xf * xf, -1, keepdims=True) - mean * mean, 0.0)
+        xn = (xf - mean) * jax.lax.rsqrt(var + 1e-6) * lns + lnb
+        shortcut = _pool2x(xn @ wsk + bsk)
+        xw, _ = window_partition(xn, WIN)
+        nw = xw.shape[0]
+        qkv = (xw.reshape(nw, WIN * WIN, CI) @ wqkv + bqkv).reshape(
+            nw, WIN * WIN, 3, H, hd
+        )
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = _pool2x(q.reshape(nw, WIN, WIN, CO)).reshape(nw, -1, H, hd)
+        attn = jax.nn.softmax(
+            jnp.einsum("bqhd,bkhd->bhqk", q, k) * (hd**-0.5), axis=-1
+        )
+        o = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(nw, WIN // 2, WIN // 2, CO)
+        o = window_unpartition(o, WIN // 2, (S // 2, S // 2), (S // 2, S // 2))
+        return shortcut + (o @ wpr + bpr)
+
+    def test_matches_module_math(self):
+        from circuitvision_tpu.models.sam2.hiera import (
+            window_partition, window_unpartition,
+        )
+        from circuitvision_tpu.ops.pallas.window_attn import qpool_attn_block
+
+        vals = self._make()
+        B, S, WIN, CI, CO, H, x, lns, lnb, wsk, bsk, wqkv, bqkv, wpr, bpr = vals
+        ref = self._reference(*vals)
+
+        xw, _ = window_partition(x, WIN)
+        nw = xw.shape[0]
+        out = qpool_attn_block(
+            xw.reshape(nw * WIN * WIN, CI),
+            lns, lnb, wsk, bsk, wqkv, bqkv, wpr, bpr,
+            heads=H, win=WIN, interpret=True,
+        ).reshape(nw, WIN // 2, WIN // 2, CO)
+        got = window_unpartition(out, WIN // 2, (S // 2, S // 2), (S // 2, S // 2))
+        err = float(jnp.abs(ref - got).max())
+        assert err / float(jnp.abs(ref).max()) < 1e-5
+
+    def test_merged_equals_per_window(self):
+        """gw=8 exercises the nm=8 block-diagonal merged tiles; result
+        must equal gw=1 per-window attention."""
+        from circuitvision_tpu.models.sam2.hiera import window_partition
+        from circuitvision_tpu.ops.pallas.window_attn import qpool_attn_block
+
+        vals = self._make(seed=3)
+        B, S, WIN, CI, CO, H, x, lns, lnb, wsk, bsk, wqkv, bqkv, wpr, bpr = vals
+        xw, _ = window_partition(x, WIN)
+        nw = xw.shape[0]
+        args = (
+            xw.reshape(nw * WIN * WIN, CI),
+            lns, lnb, wsk, bsk, wqkv, bqkv, wpr, bpr,
+        )
+        a = qpool_attn_block(*args, heads=H, win=WIN, gw=1, interpret=True)
+        b = qpool_attn_block(*args, heads=H, win=WIN, gw=8, interpret=True)
+        err = float(jnp.abs(a - b).max())
+        assert err / float(jnp.abs(a).max()) < 1e-5
+
+    def test_qpool_fused_params_match_module_path(self):
+        """A q_stride MultiScaleBlock with the fused path forced declares
+        the same parameter tree as the module path (checkpoint compat)."""
+        from circuitvision_tpu.models.sam2 import hiera
+        from circuitvision_tpu.models.sam2.hiera import MultiScaleBlock
+
+        x = jnp.zeros((2, 8, 8, 32), jnp.float32)
+        kw = dict(dim=32, dim_out=64, num_heads=2, q_stride=True, window_size=4)
+        v_mod = MultiScaleBlock(**kw).init(jax.random.PRNGKey(0), x)
+        old = hiera._FORCE_FUSED
+        hiera._FORCE_FUSED = True
+        try:
+            v_fused = jax.eval_shape(
+                lambda k: MultiScaleBlock(**kw).init(k, x), jax.random.PRNGKey(0)
+            )
+        finally:
+            hiera._FORCE_FUSED = old
+        shapes = lambda t: jax.tree.map(lambda a: a.shape, t)
+        assert v_fused["params"], "fused param tree is empty"
+        assert shapes(v_mod["params"]) == shapes(v_fused["params"])
+
+
+class TestGlobalAttnKernels:
+    """ops/pallas/global_attn vs the XLA LN/qkv/pad and proj/residual
+    formulation used by the module-path global blocks."""
+
+    def _params(self, seed, B, N, C, H):
+        rng = np.random.default_rng(seed)
+        arr = lambda shp, s: jnp.asarray(rng.standard_normal(shp) * s, jnp.float32)
+        return (
+            arr((B, N, C), 1.0),
+            arr((C,), 1.0), arr((C,), 1.0),
+            arr((C, 3 * C), 0.1), arr((3 * C,), 0.05),
+            arr((C, C), 0.1), arr((C,), 0.05),
+        )
+
+    def test_ln_qkv_flash_layout(self):
+        from circuitvision_tpu.ops.pallas.global_attn import ln_qkv_flash
+
+        B, N, C, H = 2, 64, 48, 2
+        hd = C // H
+        x, lns, lnb, wqkv, bqkv, wproj, bproj = self._params(0, B, N, C, H)
+
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, -1, keepdims=True)
+        var = jnp.maximum(jnp.mean(xf * xf, -1, keepdims=True) - mean * mean, 0.0)
+        xn = (xf - mean) * jax.lax.rsqrt(var + 1e-6) * lns + lnb
+        qkv = (xn @ wqkv + bqkv).reshape(B, N, 3, H, hd)
+        refs = [jnp.swapaxes(qkv[:, :, i], 1, 2) for i in range(3)]  # (B, H, N, hd)
+
+        q, k, v = ln_qkv_flash(
+            x, lns, lnb, wqkv, bqkv, heads=H, row_tile=32, interpret=True
+        )
+        for got, ref in zip((q, k, v), refs):
+            assert got.shape == (B, H, N, 128)
+            err = float(jnp.abs(got[..., :hd] - ref).max())
+            assert err / float(jnp.abs(ref).max()) < 1e-5
+            assert float(jnp.abs(got[..., hd:]).max()) == 0.0  # padded lanes zero
+
+    def test_attn_proj_residual(self):
+        from circuitvision_tpu.ops.pallas.global_attn import attn_proj_residual
+
+        B, N, C, H = 2, 64, 48, 2
+        hd = C // H
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+        o_true = jnp.asarray(rng.standard_normal((B, H, N, hd)), jnp.float32)
+        o = jnp.pad(o_true, ((0, 0), (0, 0), (0, 0), (0, 128 - hd)))
+        wproj = jnp.asarray(rng.standard_normal((C, C)) * 0.1, jnp.float32)
+        bproj = jnp.asarray(rng.standard_normal((C,)) * 0.05, jnp.float32)
+
+        concat = jnp.swapaxes(o_true, 1, 2).reshape(B, N, C)
+        ref = x + concat @ wproj + bproj
+
+        got = attn_proj_residual(x, o, wproj, bproj, row_tile=32, interpret=True)
+        err = float(jnp.abs(ref - got).max())
+        assert err / float(jnp.abs(ref).max()) < 1e-5
+
+    def test_padded_lanes_ignored(self):
+        """Garbage in the flash output's padded lanes must not leak into
+        the projection (the weight rows there are zero)."""
+        from circuitvision_tpu.ops.pallas.global_attn import attn_proj_residual
+
+        B, N, C, H = 1, 32, 32, 2
+        hd = C // H
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+        o_true = jnp.asarray(rng.standard_normal((B, H, N, hd)), jnp.float32)
+        pad_garbage = jnp.asarray(
+            rng.standard_normal((B, H, N, 128 - hd)) * 100.0, jnp.float32
+        )
+        o_clean = jnp.pad(o_true, ((0, 0), (0, 0), (0, 0), (0, 128 - hd)))
+        o_dirty = jnp.concatenate([o_true, pad_garbage], axis=-1)
+        wproj = jnp.asarray(rng.standard_normal((C, C)) * 0.1, jnp.float32)
+        bproj = jnp.zeros((C,), jnp.float32)
+
+        a = attn_proj_residual(x, o_clean, wproj, bproj, row_tile=32, interpret=True)
+        b = attn_proj_residual(x, o_dirty, wproj, bproj, row_tile=32, interpret=True)
+        assert float(jnp.abs(a - b).max()) == 0.0
+
+
 class TestMlpBlock:
     """ops/pallas/mlp_block vs the XLA MLP-half formulation."""
 
