@@ -389,6 +389,30 @@ def threshold_edge_circuits(pins) -> list[SynthCircuit]:
             _from_mask(f"edge_{i}", "threshold-edge", c.mask, boxes, pins,
                        directions={"voltage.dc": ("UP", "SIGN")})
         )
+    # edge_3: wires running along / touching the raster border — contour
+    # extraction must keep border-touching external contours identical to
+    # cv2's RETR_EXTERNAL semantics (SURVEY §7 hard part #2). Components
+    # spread so the padded crop window exceeds 90% of the image and the
+    # crop is SKIPPED (reference :1171-1181) — the border wires must
+    # reach the topology stage intact.
+    c = _Canvas(300, 400)
+    c.hwire(0, 0, 400)
+    c.hwire(297, 0, 400)
+    c.vwire(0, 0, 300)
+    c.vwire(396, 0, 300)
+    c.vwire(200, 0, 300)
+    boxes = [
+        _bbox("voltage.dc", 0, 100, 30, 170),
+        _bbox("resistor", 80, 0, 160, 30),
+        _bbox("resistor", 185, 120, 215, 200),
+        _bbox("capacitor", 250, 240, 320, 300),
+    ]
+    for b in boxes:
+        c.glyph_box(b.xmin + 4, b.ymin + 4, b.xmax - 4, b.ymax - 4)
+    out.append(
+        _from_mask("edge_3", "threshold-edge", c.mask, boxes, pins,
+                   directions={"voltage.dc": ("UP", "SIGN")})
+    )
     return out
 
 
@@ -433,9 +457,9 @@ def exif_circuits(pins) -> list[SynthCircuit]:
     """Upright circuits stored PRE-rotated with EXIF orientation tags —
     the ingest path must auto-rotate (reference EXIF transpose,
     src/analysis_pipeline.py:67-77)."""
-    base = [golden(), loop()]
+    base = [golden(), loop(), parallel_r()]
     out = []
-    for i, (c, orient) in enumerate(zip(base, (6, 8))):
+    for i, (c, orient) in enumerate(zip(base, (6, 8, 3))):
         pin = pins.get(f"exif_{i}", {})
         out.append(
             dataclasses.replace(
@@ -461,7 +485,7 @@ def make_hostile_circuits() -> list[SynthCircuit]:
 
 
 def make_all_circuits() -> list[SynthCircuit]:
-    """5 basic + 14 hostile circuits (the full eval set)."""
+    """5 basic + 16 hostile circuits (the full eval set)."""
     return make_circuits() + make_hostile_circuits()
 
 

@@ -9,14 +9,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from circuitvision_tpu.eval.synth import make_circuits, write_eval_set
+from circuitvision_tpu.eval.synth import make_all_circuits, write_eval_set
 
 
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", default="eval_data")
     args = parser.parse_args()
-    circuits = make_circuits()
+    circuits = make_all_circuits()
     write_eval_set(args.out, circuits)
     print(f"wrote {len(circuits)} circuits to {args.out}/")
     return 0

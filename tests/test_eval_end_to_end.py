@@ -47,7 +47,7 @@ class TestEvalEndToEnd:
         from eval_pipeline import run_eval
 
         report = run_eval(_args(eval_dir))
-        assert report["images"] == 19
+        assert report["images"] == 21
         assert report["netlist_exact_match"] == 1.0
         by_cat = report["netlist_exact_match_by_category"]
         assert set(by_cat) == {
