@@ -185,3 +185,79 @@ def random_circuit(seed: int) -> tuple[np.ndarray, list[BBox]]:
 
 def random_circuits(n: int, seed0: int = 1000) -> list[tuple[np.ndarray, list[BBox]]]:
     return [random_circuit(seed0 + i) for i in range(n)]
+
+
+def random_reclassify_scene(seed: int) -> tuple[np.ndarray, list[BBox]]:
+    """One random RENDERED image + detections for differential testing of
+    terminal reclassification (src/circuit_analyzer.py:2217-2311).
+
+    Unlike random_circuit this returns an IMAGE (white background, black
+    strokes) because the reclassify stage starts from segment_circuit's
+    adaptive threshold of the original image, not from an oracle mask.
+    Terminals are placed in three regimes: mid-wire (two contour stubs
+    after box subtraction → reclassified to voltage.dc), wire-end (one
+    stub → kept), and isolated (zero → kept); plus non-terminal
+    components whose boxes get subtracted, and junction boxes that don't.
+    """
+    rng = np.random.default_rng(seed)
+    h = int(rng.choice([360, 420]))
+    w = int(rng.choice([520, 600]))
+    t = int(rng.integers(2, 5))
+    img = np.full((h, w, 3), 255, np.uint8)
+    boxes: list[BBox] = []
+
+    def hline(y, x0, x1):
+        img[y : y + t, min(x0, x1) : max(x0, x1)] = 0
+
+    def vline(x, y0, y1):
+        img[min(y0, y1) : max(y0, y1), x : x + t] = 0
+
+    def add_box(cls, cx, cy, bw, bh):
+        b = BBox(
+            class_name=cls,
+            confidence=round(float(rng.uniform(0.5, 0.99)), 2),
+            xmin=int(cx - bw // 2), ymin=int(cy - bh // 2),
+            xmax=int(cx + bw // 2), ymax=int(cy + bh // 2),
+        )
+        boxes.append(b)
+        return b
+
+    # Three long horizontal wires, well separated.
+    wire_ys = [60 + i * ((h - 120) // 2) for i in range(3)]
+    for y in wire_ys:
+        hline(y, 40, w - 40)
+
+    # Mid-wire terminals (expected reclassified): box straddles the wire.
+    for _ in range(int(rng.integers(1, 3))):
+        y = int(rng.choice(wire_ys))
+        cx = int(rng.integers(120, w - 120))
+        add_box("terminal", cx, y + t // 2, int(rng.integers(24, 40)),
+                int(rng.integers(24, 40)))
+
+    # Wire-end terminal (single stub → kept as terminal).
+    y = int(rng.choice(wire_ys))
+    add_box("terminal", 40, y + t // 2, 30, 30)
+
+    # Isolated terminal far from any stroke.
+    add_box("terminal", w - 60, h - 30, 24, 24)
+
+    # A couple of non-terminal components on wires (subtracted boxes).
+    for _ in range(int(rng.integers(1, 4))):
+        y = int(rng.choice(wire_ys))
+        cx = int(rng.integers(100, w - 100))
+        add_box(str(rng.choice(["resistor", "capacitor", "voltage.dc"])),
+                cx, y + t // 2, int(rng.integers(30, 50)),
+                int(rng.integers(30, 50)))
+
+    # Junction glyph (box preserved during subtraction).
+    if rng.random() < 0.5:
+        y = int(rng.choice(wire_ys))
+        add_box("junction", int(rng.integers(80, w - 80)), y + t // 2, 12, 12)
+
+    # A vertical stub crossing one wire (extra contours).
+    if rng.random() < 0.7:
+        x = int(rng.integers(100, w - 100))
+        y = int(rng.choice(wire_ys))
+        vline(x, y - int(rng.integers(20, 50)), y + int(rng.integers(20, 50)))
+
+    return img, boxes

@@ -25,11 +25,25 @@ from ..ops.image import adaptive_threshold_mean_inv, rgb_to_gray
 from .nodes import subtract_component_boxes
 
 
-def segment_classical(image_rgb: np.ndarray, cfg: Optional[TopologyConfig] = None) -> np.ndarray:
+def segment_classical(
+    image_rgb: np.ndarray,
+    cfg: Optional[TopologyConfig] = None,
+    swap_rb: bool = False,
+) -> np.ndarray:
     """Classical fallback wire mask: grayscale → adaptive mean threshold,
-    inverted (reference segment_circuit, src/circuit_analyzer.py:313-319)."""
+    inverted (reference segment_circuit, src/circuit_analyzer.py:313-319).
+
+    swap_rb reproduces the reference reclassify path's channel quirk: it
+    converts RGB→BGR and segment_circuit then applies COLOR_RGB2GRAY to
+    the BGR image (src/circuit_analyzer.py:2234-2238), so luma is
+    computed with the R/B weights swapped. Grayscale content is
+    unaffected; colored photos need the quirk for mask parity.
+    """
     cfg = cfg or TopologyConfig()
-    gray = rgb_to_gray(jnp.asarray(image_rgb))
+    img = jnp.asarray(image_rgb)
+    if swap_rb:
+        img = img[..., ::-1]
+    gray = rgb_to_gray(img)
     mask = adaptive_threshold_mean_inv(gray, cfg.adaptive_block, float(cfg.adaptive_c))
     return np.asarray(mask)
 
@@ -56,7 +70,7 @@ def reclassify_terminals(
     if not terminal_idx:
         return out
 
-    mask = segment_classical(image_rgb, cfg)
+    mask = segment_classical(image_rgb, cfg, swap_rb=True)
     wire = subtract_component_boxes(mask, out)
     h, w = wire.shape
 

@@ -124,6 +124,13 @@ def load_reference_analyzer():
 
     with open(os.path.join(REF_ROOT, "classes.json")) as f:
         classes = json.load(f)
+    # reclassify_terminals_based_on_connectivity reads
+    # self.yolo.model.names to find voltage.dc's numeric id
+    # (src/circuit_analyzer.py:2264-2269); the real mapping comes from the
+    # trained checkpoint, whose ids follow classes.json order (the same
+    # enumeration core/taxonomy.py uses).
+    a.yolo = _FakeYOLO()
+    a.yolo.model.names = {i: name for i, name in enumerate(classes.keys())}
     # Constructor filtering, verbatim semantics (:49-64).
     a.classes_names = set(classes.keys())
     a.non_components = set(

@@ -255,3 +255,246 @@ class TestFixNetlistMatchesReference:
             f"{len(failures)}/20 randomized circuits diverge after fix_netlist:\n"
             + "\n".join(failures[:6])
         )
+
+
+def _reclassify_fingerprint_ref(ref, image, boxes):
+    # Mutates in place; the fingerprint reads the mutated dicts.
+    dicts = [bbox_to_ref_dict(b) for b in boxes]
+    ref.reclassify_terminals_based_on_connectivity(image, dicts)
+    return [
+        (
+            d["persistent_uid"],
+            d["class"],
+            bool(d.get("was_reclassified_from_terminal", False)),
+            d.get("original_yolo_class_if_reclassified"),
+        )
+        for d in dicts
+    ]
+
+
+def _reclassify_fingerprint_repo(image, boxes):
+    from circuitvision_tpu.core.config import TopologyConfig
+    from circuitvision_tpu.topology.reclassify import reclassify_terminals
+
+    out = reclassify_terminals(image, list(boxes), TopologyConfig())
+    return [
+        (
+            b.persistent_uid,
+            b.class_name,
+            bool(b.was_reclassified_from_terminal),
+            b.original_class_if_reclassified,
+        )
+        for b in out
+    ]
+
+
+class TestReclassifyMatchesReference:
+    """reclassify_terminals_based_on_connectivity vs the reference's own
+    code (src/circuit_analyzer.py:2217-2311) on identical (image,
+    detections): per-uid final class, the was-reclassified flag, and the
+    stored original class must all match. Exercises the classical
+    adaptive-threshold mask (incl. the RGB→BGR→RGB2GRAY channel-swap
+    quirk, :2234-2238), box subtraction, the prelim 1e-4 contour
+    threshold, and the 10 px no-broad-phase touch walk."""
+
+    def test_eval_circuits(self, ref):
+        from circuitvision_tpu.eval.synth import make_all_circuits
+
+        failures = []
+        for c in make_all_circuits():
+            want = _reclassify_fingerprint_ref(ref, c.image, c.boxes)
+            got = _reclassify_fingerprint_repo(c.image, c.boxes)
+            if want != got:
+                failures.append(f"--- {c.name} ---\nref:  {want}\nrepo: {got}")
+        assert not failures, "\n".join(failures)
+
+    def test_randomized_scenes(self, ref):
+        from circuitvision_tpu.eval.randomized import random_reclassify_scene
+
+        n = 25
+        failures = []
+        any_reclassified = False
+        for i in range(n):
+            image, boxes = random_reclassify_scene(4000 + i)
+            want = _reclassify_fingerprint_ref(ref, image, boxes)
+            got = _reclassify_fingerprint_repo(image, boxes)
+            any_reclassified |= any(f[2] for f in want)
+            if want != got:
+                failures.append(f"--- scene-{4000 + i} ---\nref:  {want}\nrepo: {got}")
+        assert not failures, (
+            f"{len(failures)}/{n} reclassify scenes diverge:\n"
+            + "\n".join(failures[:6])
+        )
+        # The scenes must actually exercise the reclassification branch.
+        assert any_reclassified
+
+    def test_channel_swap_quirk(self, ref):
+        """A light-cyan wire (RGB 148,255,245) reads gray≈222 under normal
+        RGB luma (stroke detected → terminal reclassified) but gray≈240
+        under the reference's swapped-channel luma (NOT detected → kept).
+        Both implementations must agree on the quirk outcome."""
+        import numpy as np
+
+        from circuitvision_tpu.core.types import BBox
+
+        # Two separate single-wire scenes: any second contour would
+        # "connect" through the reference's is-point-near-bbox quirk
+        # (per-axis distance, :2287→:811-846), masking the luma effect.
+        def scene(color):
+            img = np.full((200, 300, 3), 255, np.uint8)
+            img[100:103, 20:280] = color
+            boxes = [BBox(class_name="terminal", confidence=0.9,
+                          xmin=140, ymin=86, xmax=170, ymax=116)]
+            return img, boxes
+
+        img_cyan, boxes_cyan = scene((148, 255, 245))
+        want = _reclassify_fingerprint_ref(ref, img_cyan, boxes_cyan)
+        got = _reclassify_fingerprint_repo(img_cyan, boxes_cyan)
+        assert want == got, f"ref {want} != repo {got}"
+        # Swapped luma ≈240 > local threshold → wire invisible → kept.
+        assert want[0][1] == "terminal" and want[0][2] is False
+
+        img_black, boxes_black = scene((0, 0, 0))
+        want = _reclassify_fingerprint_ref(ref, img_black, boxes_black)
+        got = _reclassify_fingerprint_repo(img_black, boxes_black)
+        assert want == got, f"ref {want} != repo {got}"
+        # Control: a visible wire yields two stubs → reclassified.
+        assert want[0][1] == "voltage.dc" and want[0][2] is True
+
+
+class TestHostUtilsMatchReference:
+    """Pure host utils vs the reference's own src/utils.py functions on
+    fuzzed inputs."""
+
+    def _random_dict_boxes(self, rng, n):
+        from circuitvision_tpu.core.types import BBox
+
+        boxes = []
+        for _ in range(n):
+            x0 = int(rng.integers(0, 500))
+            y0 = int(rng.integers(0, 400))
+            b = BBox(
+                class_name="resistor",
+                # Quantized confidences force ties → pins sort stability.
+                confidence=round(float(rng.choice([0.3, 0.5, 0.7, 0.9])), 2),
+                xmin=x0, ymin=y0,
+                xmax=x0 + int(rng.integers(10, 120)),
+                ymax=y0 + int(rng.integers(10, 120)),
+            )
+            boxes.append(b)
+        return boxes
+
+    def test_nms_matches(self, ref):
+        import numpy as np
+
+        from src.utils import (
+            non_max_suppression_by_area,
+            non_max_suppression_by_confidence,
+        )
+
+        from circuitvision_tpu.core.geometry import nms_by_area, nms_by_confidence
+
+        rng = np.random.default_rng(7)
+        for trial in range(30):
+            boxes = self._random_dict_boxes(rng, int(rng.integers(0, 40)))
+            dicts = [bbox_to_ref_dict(b) for b in boxes]
+            for thr in (0.3, 0.5, 0.6):
+                want = [d["persistent_uid"]
+                        for d in non_max_suppression_by_confidence(list(dicts), thr)]
+                got = [b.persistent_uid for b in nms_by_confidence(boxes, thr)]
+                assert want == got, f"conf-NMS trial {trial} thr {thr}"
+                want = [d["persistent_uid"]
+                        for d in non_max_suppression_by_area(list(dicts), thr)]
+                got = [b.persistent_uid for b in nms_by_area(boxes, thr)]
+                assert want == got, f"area-NMS trial {trial} thr {thr}"
+
+    def test_iou_matches(self, ref):
+        import numpy as np
+
+        from src.utils import calculate_iou
+
+        from circuitvision_tpu.core.geometry import iou
+
+        rng = np.random.default_rng(11)
+        boxes = self._random_dict_boxes(rng, 40)
+        for a in boxes[:20]:
+            for b in boxes[20:]:
+                want = calculate_iou(bbox_to_ref_dict(a), bbox_to_ref_dict(b))
+                got = iou(a, b)
+                assert abs(want - got) < 1e-12, (a, b, want, got)
+
+    AC_CORPUS = [
+        "AC 5V 1kHz 0deg", "AC 10.5mA 50.2Hz -45.5deg", "AC 5V 0deg",
+        "AC 4.7 230 90", "ac 12v 60hz 30deg", "4:-45", "1:45", " 3.3 : 90 ",
+        "0.5:-180", "AC 5V", "AC", "5V", "12:", ":45", "4:-45:7", "AC5V0deg",
+        "AC -3.2V 10Hz +15deg", "+2.5:-0.5", "nonsense", "", "AC  7  8  9",
+        "ac 1.5kV 2MHz 0.25deg", "10", "j45", "AC 0 0 0",
+    ]
+
+    def test_ac_string_parser_matches(self, ref):
+        from src.utils import _parse_vlm_ac_string
+
+        from circuitvision_tpu.netlist.values import parse_ac_string
+
+        for s in self.AC_CORPUS:
+            want = _parse_vlm_ac_string(s)
+            got = parse_ac_string(s)
+            assert want == got, f"{s!r}: ref {want} != repo {got}"
+        assert _parse_vlm_ac_string(None) == parse_ac_string(None)
+        assert _parse_vlm_ac_string(4.2) == parse_ac_string(4.2)
+
+    # Inputs the reference parser handles correctly. Excluded as dead
+    # code in the reference (documented deviations, PARITY.md): metric
+    # suffixes ("4.7k" — startswith() instead of endswith()), complex
+    # values ("5+3j" — complex() is fed "5"+"+3" or "5"+"+j3", both
+    # invalid; "j5" even escapes with IndexError), and "Ω" (str.lower()
+    # maps Ω→ω, so the unit table never matches).
+    VALUE_CORPUS_SHARED = [
+        "10", "4.7", "0.001", "  42  ", "5e-5", "5E-5", "3.3e3",
+        "5x10^-5", "5 x 10^-5", "5 * 10^-5", "2.2x10^3",
+        "100ohm", "3.3v", "2a", "1.5henry", "0.1farad",
+    ]
+
+    def test_value_parser_matches_on_shared_domain(self, ref):
+        from src.utils import parse_component_value as ref_parse
+
+        from circuitvision_tpu.netlist.values import parse_component_value
+
+        for s in self.VALUE_CORPUS_SHARED:
+            want = ref_parse(s)
+            got = parse_component_value(s)
+            assert want == got, f"{s!r}: ref {want} != repo {got}"
+
+    def test_value_parser_documented_deviation(self, ref):
+        """Metric suffixes: the reference's prefix walk uses startswith on
+        a string that still begins with digits, so '4.7k' raises
+        ValueError (src/utils.py:538-544 dead code); the repo parser
+        handles the suffix (documented deviation, PARITY.md)."""
+        import pytest as _pytest
+
+        from src.utils import parse_component_value as ref_parse
+
+        from circuitvision_tpu.netlist.values import parse_component_value
+
+        for s in ("4.7k", "10u", "1m", "2.2n"):
+            with _pytest.raises(ValueError):
+                ref_parse(s)
+        assert parse_component_value("4.7k") == _pytest.approx(4700.0)
+        assert parse_component_value("10u") == _pytest.approx(1e-5)
+
+        # Complex values: every reference complex pattern feeds complex()
+        # an invalid string ("5"+"+j3" or "5"+"+3"), and the one-group
+        # pattern ("j5") reads group(2) → IndexError escapes.
+        for s in ("5+j3", "5+3j", "7.5+j0.5"):
+            with _pytest.raises(ValueError):
+                ref_parse(s)
+        with _pytest.raises(IndexError):
+            ref_parse("j5")
+        assert parse_component_value("5+j3") == 5 + 3j
+        assert parse_component_value("5-3j") == 5 - 3j
+        assert parse_component_value("j5") == 5j
+
+        # "Ω": the reference lowercases Ω→ω before its unit table lookup.
+        with _pytest.raises(ValueError):
+            ref_parse("220Ω")
+        assert parse_component_value("220Ω") == _pytest.approx(220.0)
