@@ -474,6 +474,68 @@ def exif_circuits(pins) -> list[SynthCircuit]:
     return out
 
 
+def degenerate_circuits(pins) -> list[SynthCircuit]:
+    """Degradation-ladder cases run end-to-end from images (SURVEY §5):
+    every one must produce a DETERMINISTIC netlist, not an exception.
+
+    degen_0 — components but NO wires: node analysis finds nothing and
+    the pipeline emits the components-only fallback netlist
+    (src/analysis_pipeline.py:310-323; the reference's own fallback call
+    is a TypeError — documented deviation, PARITY.md).
+    degen_1 — closed R/C loop with NO source: ground selection cannot use
+    a source-connected node and falls through the max-connection /
+    lowest-node ladder (src/circuit_analyzer.py:1499-1545).
+    degen_2 — one single-net resistor (skipped by the two-node guard,
+    :1680-1684) plus a dangling terminal (type-N line, node_2=0).
+    """
+    out = []
+
+    # degen_0: detections, empty wire raster.
+    c = _Canvas(300, 400)
+    boxes = [
+        _bbox("voltage.dc", 35, 120, 70, 180),
+        _bbox("resistor", 150, 35, 250, 70),
+        _bbox("gnd", 35, 260, 68, 290),
+    ]
+    for b in boxes:
+        c.glyph_box(b.xmin + 4, b.ymin + 4, b.xmax - 4, b.ymax - 4)
+    out.append(
+        _from_mask("degen_0", "degenerate", c.mask, boxes, pins,
+                   directions={"voltage.dc": ("UP", "SIGN")})
+    )
+
+    # degen_1: R-C loop, no source anywhere.
+    c = _Canvas(300, 400)
+    c.hwire(50, 50, 313)
+    c.hwire(250, 50, 313)
+    c.vwire(50, 50, 253)
+    c.vwire(310, 50, 253)
+    boxes = [
+        _bbox("capacitor", 35, 120, 70, 180),
+        _bbox("resistor", 150, 35, 250, 70),
+    ]
+    for b in boxes:
+        c.glyph_box(b.xmin + 4, b.ymin + 4, b.xmax - 4, b.ymax - 4)
+    out.append(
+        _from_mask("degen_1", "degenerate", c.mask, boxes, pins,
+                   directions={}))
+
+    # degen_2: single-net resistor on a stub + dangling terminal.
+    c = _Canvas(300, 400)
+    c.hwire(150, 60, 220)          # stub wire: one net
+    c.hwire(150, 260, 340)         # separate terminal wire
+    boxes = [
+        _bbox("resistor", 100, 135, 160, 168),   # sits ON the single net
+        _bbox("terminal", 330, 135, 360, 168),   # dangling → type N
+    ]
+    for b in boxes:
+        c.glyph_box(b.xmin + 4, b.ymin + 4, b.xmax - 4, b.ymax - 4)
+    out.append(
+        _from_mask("degen_2", "degenerate", c.mask, boxes, pins,
+                   directions={}))
+    return out
+
+
 def make_hostile_circuits() -> list[SynthCircuit]:
     pins = _pinned()
     return (
@@ -481,11 +543,12 @@ def make_hostile_circuits() -> list[SynthCircuit]:
         + threshold_edge_circuits(pins)
         + multi_cluster_circuits(pins)
         + exif_circuits(pins)
+        + degenerate_circuits(pins)
     )
 
 
 def make_all_circuits() -> list[SynthCircuit]:
-    """5 basic + 16 hostile circuits (the full eval set)."""
+    """5 basic + 19 hostile circuits (the full eval set)."""
     return make_circuits() + make_hostile_circuits()
 
 

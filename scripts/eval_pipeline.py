@@ -139,7 +139,12 @@ def run_eval(args) -> dict:
             from PIL import Image
 
             gt_mask = np.asarray(Image.open(gt_mask_path).convert("L"))
-            pred_mask = result.sam_mask
+            if not gt_mask.any():
+                gt_mask = None  # wireless degenerate case: IoU undefined
+            pred_mask = result.sam_mask if gt_mask is not None else None
+        else:
+            gt_mask = pred_mask = None
+        if gt_mask is not None and pred_mask is not None:
             if pred_mask.shape != gt_mask.shape:
                 # The pipeline segments the CROPPED image; map the mask
                 # back into full-image coordinates before comparing.

@@ -66,7 +66,15 @@ def main() -> None:
             )
             net = ref.generate_netlist_from_nodes(nodes)
         ref_text = "\n".join(ref.stringify_line(line) for line in net)
-        if ref_text != (res.valueless_netlist_text or ""):
+        if not res.nodes:
+            # No-nodes ladder: the repo emits the components-only fallback
+            # netlist; the reference's own fallback call is a TypeError
+            # (src/analysis_pipeline.py:314, PARITY.md). Verify the
+            # reference also finds nothing, then pin the fallback text.
+            assert not nodes and ref_text == "", (c.name, ref_text)
+            print(f"{c.name:12s} fallback path (reference: no nodes — its "
+                  "own fallback is a TypeError; pin is the repo fallback)")
+        elif ref_text != (res.valueless_netlist_text or ""):
             raise SystemExit(
                 f"{c.name}: reference mismatch!\nref : {ref_text!r}\n"
                 f"repo: {res.valueless_netlist_text!r}"

@@ -47,12 +47,12 @@ class TestEvalEndToEnd:
         from eval_pipeline import run_eval
 
         report = run_eval(_args(eval_dir))
-        assert report["images"] == 21
+        assert report["images"] == 24
         assert report["netlist_exact_match"] == 1.0
         by_cat = report["netlist_exact_match_by_category"]
         assert set(by_cat) == {
             "basic", "semiconductors", "threshold-edge", "multi-cluster",
-            "exif-rotated",
+            "exif-rotated", "degenerate",
         }
         for cat, stats in by_cat.items():
             assert stats["match"] == 1.0, (cat, stats)
