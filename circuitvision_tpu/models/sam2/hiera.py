@@ -13,6 +13,7 @@ follows the module dtype (bfloat16 in production).
 """
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -149,6 +150,28 @@ _FORCE_FUSED = None
 #: scripts/profile_* flip them to attribute step-time deltas per path.
 _ENABLE_FUSED_QPOOL = True
 _ENABLE_FUSED_GLOBAL = True
+
+
+@contextlib.contextmanager
+def force_fused(value):
+    """Scope the fused-kernel gate override (trace-time): True/False force
+    the gate, None restores backend auto-detection.
+
+    The first-party Pallas kernels are forward-only (no custom VJP);
+    training code traces under force_fused(False) so autodiff sees the
+    module path — the flax modules and jax's flash-attention kernel
+    (which does define a VJP) — while inference keeps the fused kernels.
+    The param trees of both paths are identical
+    (tests/test_pallas_kernels.py fused-flag tree parity), so params
+    train on the module path and serve on the fused path unchanged.
+    """
+    global _FORCE_FUSED
+    old = _FORCE_FUSED
+    _FORCE_FUSED = value
+    try:
+        yield
+    finally:
+        _FORCE_FUSED = old
 
 FLASH_MIN_SEQ = 2048
 

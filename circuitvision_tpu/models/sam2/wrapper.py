@@ -96,11 +96,20 @@ class MultiKernelRefinement(nn.Module):
             ic * len(self.kernel_sizes)
         )
 
+        from . import hiera as _hiera
+
+        # Respect the trace-time fused-gate override (hiera.force_fused):
+        # the kernel is forward-only, so training traces the conv path.
+        _on_tpu = (
+            _hiera._FORCE_FUSED
+            if _hiera._FORCE_FUSED is not None
+            else jax.default_backend() == "tpu"
+        )
         fused_ok = (
             self.use_fused
             and tuple(self.kernel_sizes) == (3, 5, 7, 11)
             and ic == 4
-            and jax.default_backend() == "tpu"
+            and _on_tpu
         )
         if fused_ok:
             from ...ops.pallas.refinement_fused import refinement_fused

@@ -54,9 +54,22 @@ def trainable_mask(params: dict) -> dict:
 
 
 def make_optimizer(params: dict, cfg: Optional[TrainConfig] = None):
+    """Adam on the trainable surface, hard-frozen elsewhere.
+
+    NOT optax.masked(adam, mask): masked passes the un-masked leaves'
+    updates through UNCHANGED — i.e. frozen params would receive the raw
+    gradient as their update (gradient ascent at lr 1.0), which explodes
+    the loss within a few steps (caught by scripts/train_demo.py).
+    multi_transform routes frozen leaves to set_to_zero(), which also
+    keeps their optimizer state empty (no moment buffers for the frozen
+    ~78% of SAM2-L)."""
     cfg = cfg or TrainConfig()
     mask = trainable_mask(params)
-    tx = optax.masked(optax.adam(cfg.learning_rate), mask)
+    labels = jax.tree.map(lambda m: "train" if m else "freeze", mask)
+    tx = optax.multi_transform(
+        {"train": optax.adam(cfg.learning_rate), "freeze": optax.set_to_zero()},
+        param_labels=labels,
+    )
     return tx, mask
 
 
@@ -72,9 +85,16 @@ def make_train_step(model, tx, cfg: Optional[TrainConfig] = None):
         return combined_loss(logits, iou_pred, masks, cfg)
 
     def train_step(params, opt_state, images, masks):
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, images, masks
-        )
+        from ..models.sam2 import hiera
+
+        # The first-party Pallas kernels are inference-only (no VJP);
+        # trace the forward on the module path so autodiff works on TPU.
+        # Both paths share one param tree, so the trained params serve
+        # on the fused path unchanged (hiera.force_fused docstring).
+        with hiera.force_fused(False):
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, images, masks
+            )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics

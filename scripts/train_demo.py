@@ -1,0 +1,170 @@
+"""Fine-tune convergence demo: the north-star training capability run
+for real on TPU (or CPU with --steps trimmed).
+
+The reference fine-tunes SAM2 offline with PEFT/LoRA in torch
+(src/circuit_analyzer.py:203-223); this repo's equivalent is the masked
+optimizer over the same trainable surface (train/train_step.py). This
+script demonstrates the loop actually LEARNS: a small-config SAM2 with a
+frozen random trunk is trained on synthetic circuit renders (white
+background, black wires) and the wire-mask IoU on held-out circuits
+rises from ~0 to a real segmentation.
+
+Two modes:
+  --surface reference  (default) train ONLY the reference LoRA-parity
+                       surface (prompts, decoder, refinement, conv_s0/s1,
+                       neck tail, last trunk blocks) — the product setup;
+  --surface full       full fine-tune (sanity upper bound).
+
+Usage: python scripts/train_demo.py [--steps 300] [--batch 8]
+                                    [--surface reference|full]
+"""
+import argparse
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import optax
+
+
+def small_cfg():
+    from circuitvision_tpu.core.config import SAM2Config
+
+    return SAM2Config(
+        resolution=256,
+        embed_dim=48,
+        num_heads=2,
+        stages=(1, 2, 4, 1),
+        global_att_blocks=(5,),
+        window_spec=(8, 4, 8, 4),
+        backbone_channel_list=(384, 192, 96, 48),
+        decoder_mlp_dim=256,
+        dtype="float32",
+    )
+
+
+def make_batch(rng_seed: int, n: int, res: int):
+    """n synthetic circuits → (images (n,res,res,3) normalized,
+    masks (n,res,res) float 0/1)."""
+    from circuitvision_tpu.eval.randomized import random_circuit
+    from circuitvision_tpu.eval.synth import _render_image
+    from circuitvision_tpu.ops.image import sam2_preprocess
+
+    imgs = np.zeros((n, res, res, 3), np.float32)
+    masks = np.zeros((n, res, res), np.float32)
+    for i in range(n):
+        mask, boxes = random_circuit(rng_seed + i)
+        image = _render_image(mask, boxes)
+        imgs[i] = np.asarray(sam2_preprocess(jnp.asarray(image), res))
+        m = np.asarray(
+            jax.image.resize(
+                jnp.asarray(mask, jnp.float32), (res, res), method="linear"
+            )
+        )
+        masks[i] = (m > 127.0).astype(np.float32)
+    return jnp.asarray(imgs), jnp.asarray(masks)
+
+
+def mask_iou(pred: np.ndarray, gt: np.ndarray) -> float:
+    inter = float(np.logical_and(pred, gt).sum())
+    union = float(np.logical_or(pred, gt).sum())
+    return inter / union if union else 1.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--surface", choices=("reference", "full"),
+                    default="reference")
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--log-every", type=int, default=25)
+    args = ap.parse_args()
+
+    from circuitvision_tpu.core.config import TrainConfig
+    from circuitvision_tpu.models.sam2.wrapper import (
+        SAM2ImageSegmenter,
+        init_params,
+    )
+    from circuitvision_tpu.train.train_step import (
+        make_train_step,
+        trainable_mask,
+    )
+
+    cfg = small_cfg()
+    tcfg = TrainConfig(learning_rate=args.lr)
+    model = SAM2ImageSegmenter(cfg=cfg)
+    variables = init_params(model, jax.random.PRNGKey(0))
+
+    if args.surface == "reference":
+        mask = trainable_mask(variables)
+    else:
+        mask = jax.tree.map(lambda _: True, variables)
+    n_train = sum(
+        int(np.prod(l.shape)) for l, m in zip(
+            jax.tree.leaves(variables), jax.tree.leaves(mask)) if m
+    )
+    n_total = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(variables))
+    print(f"surface={args.surface}: {n_train:,}/{n_total:,} params trainable "
+          f"({100 * n_train / n_total:.1f}%)")
+
+    labels = jax.tree.map(lambda m: "train" if m else "freeze", mask)
+    tx = optax.multi_transform(
+        {"train": optax.adam(tcfg.learning_rate),
+         "freeze": optax.set_to_zero()},
+        param_labels=labels,
+    )
+    opt_state = tx.init(variables)
+    step = jax.jit(make_train_step(model, tx, tcfg))
+
+    fwd = jax.jit(lambda v, x: model.apply(v, x)[0])
+
+    # Held-out eval circuits.
+    val_imgs, val_masks = make_batch(990000, 16, cfg.resolution)
+
+    def eval_iou(params) -> float:
+        high = fwd(params, val_imgs)
+        logits = np.asarray(high[..., 0], np.float32)
+        return float(np.mean([
+            mask_iou(logits[i] > 0, np.asarray(val_masks[i]) > 0.5)
+            for i in range(logits.shape[0])
+        ]))
+
+    iou0 = eval_iou(variables)
+    print(f"held-out wire IoU before training: {iou0:.4f}")
+
+    t0 = time.time()
+    loss_first = loss = None
+    for i in range(args.steps):
+        images, masks_b = make_batch(1000 + i * args.batch, args.batch,
+                                     cfg.resolution)
+        variables, opt_state, metrics = step(
+            variables, opt_state, images, masks_b
+        )
+        if i % args.log_every == 0 or i == args.steps - 1:
+            loss = float(metrics["loss"])
+            if loss_first is None:
+                loss_first = loss
+            print(f"step {i:4d}  loss {loss:.4f}  "
+                  f"({(time.time() - t0):.1f}s)")
+    iou1 = eval_iou(variables)
+    dt = time.time() - t0
+    print(f"held-out wire IoU after {args.steps} steps: {iou1:.4f} "
+          f"(was {iou0:.4f}); loss {loss_first:.4f} -> {loss:.4f}; "
+          f"{dt:.1f}s total, {dt / args.steps * 1e3:.0f} ms/step")
+    assert loss < loss_first, "loss did not decrease"
+    assert iou1 > iou0 + 0.1, "IoU did not improve"
+    print("TRAIN DEMO OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -143,3 +143,110 @@ class TestDryRun:
 
         cpu_devices(8)
         g.dryrun_multichip(8)
+
+
+class TestTrainStepDifferentiable:
+    def test_traces_grad_with_fused_gate_forced_on(self):
+        """The first-party Pallas kernels are forward-only; make_train_step
+        must trace the forward under hiera.force_fused(False) so autodiff
+        works on TPU (where the gate would otherwise pick the kernels).
+        Forcing the gate ON here reproduces the TPU trace on CPU — without
+        the override inside train_step, linearization fails."""
+        from circuitvision_tpu.core.config import SAM2Config, TrainConfig
+        from circuitvision_tpu.models.sam2 import hiera
+        from circuitvision_tpu.models.sam2.wrapper import (
+            SAM2ImageSegmenter,
+            init_params,
+        )
+        from circuitvision_tpu.train.train_step import (
+            make_optimizer,
+            make_train_step,
+        )
+
+        cfg = SAM2Config(
+            resolution=64,
+            embed_dim=16,
+            num_heads=2,
+            stages=(1, 1, 1, 1),
+            global_att_blocks=(2,),
+            window_spec=(4, 2, 4, 2),
+            backbone_channel_list=(128, 64, 32, 16),
+            decoder_mlp_dim=32,
+        )
+        model = SAM2ImageSegmenter(cfg=cfg)
+        variables = init_params(model, jax.random.PRNGKey(0))
+        tx, _ = make_optimizer(variables, TrainConfig())
+        opt_state = tx.init(variables)
+        step = make_train_step(model, tx, TrainConfig())
+        images = jnp.zeros((2, cfg.resolution, cfg.resolution, 3))
+        masks = jnp.zeros((2, cfg.resolution, cfg.resolution))
+
+        old = hiera._FORCE_FUSED
+        hiera._FORCE_FUSED = True
+        try:
+            out = jax.eval_shape(step, variables, opt_state, images, masks)
+        finally:
+            hiera._FORCE_FUSED = old
+        assert out[2]["loss"].shape == ()
+
+
+class TestFrozenParamsStayFrozen:
+    def test_two_steps_only_move_trainable_surface(self):
+        """make_optimizer must hard-freeze the non-trainable leaves.
+        optax.masked(adam, mask) does NOT do this — it passes the raw
+        gradient through as the update for unmasked leaves (gradient
+        ascent at lr 1.0), which explodes the loss within a few steps;
+        caught live by scripts/train_demo.py on TPU."""
+        import jax.tree_util as jtu
+
+        from circuitvision_tpu.core.config import SAM2Config, TrainConfig
+        from circuitvision_tpu.models.sam2.wrapper import (
+            SAM2ImageSegmenter,
+            init_params,
+        )
+        from circuitvision_tpu.train.train_step import (
+            make_optimizer,
+            make_train_step,
+        )
+
+        cfg = SAM2Config(
+            resolution=64,
+            embed_dim=16,
+            num_heads=2,
+            stages=(1, 1, 1, 1),
+            global_att_blocks=(2,),
+            window_spec=(4, 2, 4, 2),
+            backbone_channel_list=(128, 64, 32, 16),
+            decoder_mlp_dim=32,
+        )
+        model = SAM2ImageSegmenter(cfg=cfg)
+        variables = init_params(model, jax.random.PRNGKey(0))
+        tx, mask = make_optimizer(variables, TrainConfig())
+        opt_state = tx.init(variables)
+        step = jax.jit(make_train_step(model, tx, TrainConfig()))
+
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(rng.random((2, 64, 64, 3), np.float32))
+        targets = jnp.asarray(
+            (rng.random((2, 64, 64)) > 0.7).astype(np.float32)
+        )
+        new_vars, opt_state, metrics = step(variables, opt_state, images, targets)
+        new_vars, opt_state, metrics = step(new_vars, opt_state, images, targets)
+        assert np.isfinite(float(metrics["loss"]))
+
+        moved_trainable = 0
+        for (path, old), (_, new), (_, m) in zip(
+            jtu.tree_leaves_with_path(variables),
+            jtu.tree_leaves_with_path(new_vars),
+            jtu.tree_leaves_with_path(mask),
+        ):
+            if m:
+                moved_trainable += int(
+                    not np.array_equal(np.asarray(old), np.asarray(new))
+                )
+            else:
+                np.testing.assert_array_equal(
+                    np.asarray(old), np.asarray(new),
+                    err_msg=f"frozen param moved: {jtu.keystr(path)}",
+                )
+        assert moved_trainable > 0
