@@ -34,9 +34,17 @@ class VLMClient(Protocol):
 
 
 def parse_vlm_list(text: str) -> list[dict]:
-    """Fence-stripping + dual ast/json parser (src/utils.py:249-282)."""
+    """Fence-stripping + dual ast/json parser (src/utils.py:249-282).
+
+    str.strip takes a CHARACTER SET, so these strips eat any mix of the
+    fence characters at both ends — including, in the second strip, a
+    literal backslash: the reference source reads strip('```json\\\\n')
+    (backslash + n, not a newline). Reproduced byte-for-byte; pinned
+    against the reference's own parser in
+    tests/test_reference_diff.py::TestVLMResponseParserMatchesReference.
+    """
     formatted = text.strip("```python\n")
-    formatted = formatted.strip("```json\n")
+    formatted = formatted.strip("```json\\n")
     formatted = formatted.strip("```")
     try:
         return ast.literal_eval(formatted.replace("null", "None"))

@@ -498,3 +498,81 @@ class TestHostUtilsMatchReference:
         with _pytest.raises(ValueError):
             ref_parse("220Ω")
         assert parse_component_value("220Ω") == _pytest.approx(220.0)
+
+
+class TestVLMResponseParserMatchesReference:
+    """The stage-2 VLM response parser vs the reference's own
+    gemini_labels_openrouter parse block (src/utils.py:249-282), driven
+    through the REAL reference function with a mocked OpenAI client
+    returning each corpus string as the completion content. Pins the
+    char-set strip quirks (str.strip takes a character SET; the second
+    strip's source is '```json\\\\n' — a literal backslash, not a
+    newline), the null→None ast path, and the json fallback."""
+
+    CORPUS = [
+        "[{'id': '1', 'class': 'resistor', 'value': '1k'}]",
+        "```python\n[{'id': '1', 'class': 'resistor', 'value': None}]\n```",
+        '```json\n[{"id": "1", "class": "gnd", "value": null}]\n```',
+        '[{"id": "1", "class": "voltage.dc", "value": null}]',
+        "```\n[{'id': '2', 'class': 'capacitor', 'value': '10u'}]\n```",
+        "[{'id': '3', 'class': 'diode', 'value': null}]",  # null in ast path
+        "  [{'id': '4', 'class': 'inductor', 'value': '1m'}] \n",
+        "[]",
+        "[{'id': '5', 'value': 'nothing'}, {'id': '6', 'value': 'null'}]",
+    ]
+    CORPUS_ERRORS = [
+        "not a list at all",
+        "```json\n{broken\n```",
+        "",
+        "``````",  # strips to empty → both parsers fail
+    ]
+
+    def _ref_parse(self, ref, content: str):
+        """Run the REAL gemini_labels_openrouter with a canned client."""
+        import os
+        import sys
+        import types
+
+        import numpy as np
+
+        openai_stub = sys.modules["openai"]
+
+        class _Completions:
+            def create(self, **kw):
+                msg = types.SimpleNamespace(content=content)
+                choice = types.SimpleNamespace(message=msg)
+                return types.SimpleNamespace(choices=[choice])
+
+        class _OpenAI:
+            def __init__(self, *a, **kw):
+                self.chat = types.SimpleNamespace(completions=_Completions())
+
+        class _APIError(Exception):
+            pass
+
+        openai_stub.OpenAI = _OpenAI
+        openai_stub.APIError = _APIError
+        os.environ.setdefault("OPENROUTER_API_KEY", "test-key")
+        from src.utils import gemini_labels_openrouter
+
+        img = np.zeros((4, 4, 3), np.uint8)
+        return gemini_labels_openrouter(img)
+
+    def test_corpus_matches(self, ref):
+        from circuitvision_tpu.enrich.client import parse_vlm_list
+
+        for s in self.CORPUS:
+            want = self._ref_parse(ref, s)
+            got = parse_vlm_list(s)
+            assert want == got, f"{s!r}: ref {want!r} != repo {got!r}"
+
+    def test_error_cases_raise_in_both(self, ref):
+        import pytest as _pytest
+
+        from circuitvision_tpu.enrich.client import parse_vlm_list
+
+        for s in self.CORPUS_ERRORS:
+            with _pytest.raises(ValueError):
+                self._ref_parse(ref, s)
+            with _pytest.raises(ValueError):
+                parse_vlm_list(s)
