@@ -25,14 +25,55 @@ def iou(a: BBox, b: BBox) -> float:
 
 
 def nms_by_confidence(bboxes: Sequence[BBox], iou_threshold: float = 0.5) -> list[BBox]:
-    """Greedy NMS keeping the highest-confidence box (src/utils.py:346-361)."""
-    remaining = sorted(bboxes, key=lambda b: b.confidence, reverse=True)
-    kept: list[BBox] = []
-    while remaining:
-        best = remaining.pop(0)
-        kept.append(best)
-        remaining = [b for b in remaining if iou(best, b) < iou_threshold]
-    return kept
+    """Greedy NMS keeping the highest-confidence box (src/utils.py:346-361).
+
+    Above a small size the greedy scan runs vectorized (the throughput
+    bench feeds ~107 raw detector boxes per image; the per-pair Python
+    walk costs a few ms/img on a 1-core host). Bit-identical to the
+    reference loop: stable descending confidence sort (ties keep input
+    order, like sorted(reverse=True)), integer box arithmetic exact in
+    float64, same strict `iou < threshold` keep rule — pinned against the
+    reference's own function on fuzzed inputs including ties
+    (tests/test_reference_diff.py::TestHostUtilsMatchReference)."""
+    if len(bboxes) < 24:
+        remaining = sorted(bboxes, key=lambda b: b.confidence, reverse=True)
+        kept: list[BBox] = []
+        while remaining:
+            best = remaining.pop(0)
+            kept.append(best)
+            remaining = [b for b in remaining if iou(best, b) < iou_threshold]
+        return kept
+
+    import numpy as np
+
+    conf = np.asarray([b.confidence for b in bboxes], np.float64)
+    order = np.argsort(-conf, kind="stable")
+    coords = np.asarray(
+        [[b.xmin, b.ymin, b.xmax, b.ymax] for b in bboxes], np.float64
+    )[order]
+    areas = (coords[:, 2] - coords[:, 0]) * (coords[:, 3] - coords[:, 1])
+    n = len(order)
+    alive = np.ones(n, bool)
+    kept_order: list[int] = []
+    for i in range(n):
+        if not alive[i]:
+            continue
+        kept_order.append(i)
+        js = np.nonzero(alive[i + 1 :])[0] + i + 1
+        if js.size == 0:
+            break
+        iw = np.minimum(coords[i, 2], coords[js, 2]) - np.maximum(
+            coords[i, 0], coords[js, 0]
+        )
+        ih = np.minimum(coords[i, 3], coords[js, 3]) - np.maximum(
+            coords[i, 1], coords[js, 1]
+        )
+        inter = np.maximum(iw, 0.0) * np.maximum(ih, 0.0)
+        union = areas[i] + areas[js] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ious = np.where(union > 0, inter / union, 0.0)
+        alive[js[ious >= iou_threshold]] = False
+    return [bboxes[order[i]] for i in kept_order]
 
 
 def nms_by_area(bboxes: Sequence[BBox], iou_threshold: float = 0.5) -> list[BBox]:

@@ -408,6 +408,38 @@ class TestHostUtilsMatchReference:
                 got = [b.persistent_uid for b in nms_by_area(boxes, thr)]
                 assert want == got, f"area-NMS trial {trial} thr {thr}"
 
+    def test_nms_matches_on_noisy_detector_output(self, ref):
+        """The bench regime — ~100 jittered low-confidence duplicates of a
+        few GT boxes — exercises the vectorized (n ≥ 24) NMS path, which
+        must stay sequence-identical to the reference loop."""
+        import numpy as np
+
+        from src.utils import non_max_suppression_by_confidence
+
+        from circuitvision_tpu.core.types import BBox
+
+        from circuitvision_tpu.core.geometry import nms_by_confidence
+
+        rng = np.random.default_rng(13)
+        for trial in range(6):
+            base = self._random_dict_boxes(rng, 7)
+            boxes = list(base)
+            for _ in range(100):
+                src = base[int(rng.integers(0, len(base)))]
+                dx, dy = int(rng.integers(-6, 7)), int(rng.integers(-6, 7))
+                boxes.append(BBox(
+                    class_name=src.class_name,
+                    confidence=round(float(rng.uniform(0.05, 0.4)), 3),
+                    xmin=src.xmin + dx, ymin=src.ymin + dy,
+                    xmax=src.xmax + dx, ymax=src.ymax + dy,
+                ))
+            dicts = [bbox_to_ref_dict(b) for b in boxes]
+            for thr in (0.5, 0.6):
+                want = [d["persistent_uid"]
+                        for d in non_max_suppression_by_confidence(list(dicts), thr)]
+                got = [b.persistent_uid for b in nms_by_confidence(boxes, thr)]
+                assert want == got, f"noisy NMS trial {trial} thr {thr}"
+
     def test_iou_matches(self, ref):
         import numpy as np
 
