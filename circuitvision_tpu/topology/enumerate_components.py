@@ -49,8 +49,13 @@ def _draw_number(img: np.ndarray, text: str, org: tuple[int, int], font_scale: f
     if _HAS_CV2:
         cv2.putText(img, text, org, cv2.FONT_HERSHEY_SIMPLEX, font_scale,
                     (255, 255, 255), thickness + 2, cv2.LINE_AA)
+        # The reference passes (0, 0, 255) ("red in BGR") to putText on
+        # what is actually the RGB pipeline image (src/circuit_analyzer.py
+        # :497, :757-760) — its digits render BLUE. Reproduced verbatim
+        # for pixel parity of the VLM input image (pinned in
+        # tests/test_reference_diff.py).
         cv2.putText(img, text, org, cv2.FONT_HERSHEY_SIMPLEX, font_scale,
-                    (255, 0, 0) if img.shape[-1] == 3 else 255, thickness, cv2.LINE_AA)
+                    (0, 0, 255) if img.shape[-1] == 3 else 255, thickness, cv2.LINE_AA)
     else:  # pragma: no cover
         from PIL import Image, ImageDraw
 

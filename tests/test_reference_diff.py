@@ -608,3 +608,35 @@ class TestVLMResponseParserMatchesReference:
                 self._ref_parse(ref, s)
             with _pytest.raises(ValueError):
                 parse_vlm_list(s)
+
+
+class TestEnumImageMatchesReference:
+    def test_enum_image_pixels_and_ids(self, ref):
+        """The enumerated VLM-input image vs the reference's own
+        enumerate_components (src/circuit_analyzer.py:479-785):
+        BYTE-IDENTICAL pixels (same Hershey font geometry, same white
+        halo, and the reference's literal (0,0,255) text color — 'red in
+        BGR' applied to the RGB pipeline image, i.e. blue digits) and the
+        same per-uid visual ids."""
+        import contextlib
+        import copy as _copy
+        import io as _io
+
+        import numpy as np
+
+        from circuitvision_tpu.eval.synth import make_all_circuits
+        from circuitvision_tpu.topology.enumerate_components import (
+            enumerate_components,
+        )
+
+        for c in make_all_circuits():
+            dicts = [bbox_to_ref_dict(b) for b in c.boxes]
+            with contextlib.redirect_stdout(_io.StringIO()):
+                ref_img, ref_boxes = ref.enumerate_components(
+                    c.image, _copy.deepcopy(dicts)
+                )
+                our_img, our_boxes = enumerate_components(c.image, list(c.boxes))
+            np.testing.assert_array_equal(ref_img, our_img, err_msg=c.name)
+            assert [(d["persistent_uid"], d.get("id")) for d in ref_boxes] == [
+                (b.persistent_uid, b.visual_id) for b in our_boxes
+            ], c.name
