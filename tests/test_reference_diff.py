@@ -640,3 +640,38 @@ class TestEnumImageMatchesReference:
             assert [(d["persistent_uid"], d.get("id")) for d in ref_boxes] == [
                 (b.persistent_uid, b.visual_id) for b in our_boxes
             ], c.name
+
+
+class TestAnnotatedImageMatchesReference:
+    def test_annotated_image_pixels(self, ref):
+        """create_annotated_image vs the reference's own function
+        (src/utils.py:363-408): byte-identical pixels (green boxes, white
+        label strips, red Hershey labels) across the eval set."""
+        import numpy as np
+
+        from src.utils import create_annotated_image as ref_annot
+
+        from circuitvision_tpu.core.viz import create_annotated_image
+        from circuitvision_tpu.eval.synth import make_all_circuits
+
+        for c in make_all_circuits():
+            dicts = [bbox_to_ref_dict(b) for b in c.boxes]
+            np.testing.assert_array_equal(
+                ref_annot(c.image, dicts),
+                create_annotated_image(c.image, c.boxes),
+                err_msg=c.name,
+            )
+
+    def test_component_stats_match(self, ref):
+        """calculate_component_stats vs the reference's
+        (src/utils.py:410-430)."""
+        from src.utils import calculate_component_stats as ref_stats
+
+        from circuitvision_tpu.eval.synth import make_all_circuits
+        from circuitvision_tpu.pipeline.analyzer import CircuitAnalyzerTPU
+
+        for c in make_all_circuits():
+            dicts = [bbox_to_ref_dict(b) for b in c.boxes]
+            want = ref_stats(dicts)
+            got = CircuitAnalyzerTPU._component_stats(c.boxes)
+            assert want == got, (c.name, want, got)
