@@ -3,12 +3,15 @@
     python -m circuitvision_tpu.cli analyze circuit.png --netlist out.cir
     python -m circuitvision_tpu.cli analyze circuit.png --simulate dc
     python -m circuitvision_tpu.cli analyze circuit.png --simulate ac --frequency 60
+    python -m circuitvision_tpu.cli analyze-batch imgs/*.png --out-dir netlists/
     python -m circuitvision_tpu.cli simulate netlist.cir
-    python -m circuitvision_tpu.cli bench --smoke
+    python -m circuitvision_tpu.cli serve --port 8501
 
 The library-level capability surface of the reference's Streamlit app
 (app.py) without the UI: detection, segmentation, topology, netlist,
 VLM enrichment (when API keys are configured), and DC/AC simulation.
+`analyze-batch` runs the mesh-sharded throughput pipeline
+(pipeline/batch.py) over many images; `serve` starts the web UI.
 """
 from __future__ import annotations
 
@@ -76,6 +79,73 @@ def _print_sim(sim) -> None:
     print(json.dumps(sim.branch_currents, indent=2, ensure_ascii=False))
 
 
+def _cmd_analyze_batch(args) -> int:
+    """Batched multi-image analysis over the device mesh — the
+    throughput path (pipeline/batch.py), with per-image netlist output."""
+    import os
+
+    from .core.config import DetectorConfig, PipelineConfig
+    from .io.image_io import load_image
+    from .models.checkpoint import load_variables
+    from .pipeline.analyzer import CircuitAnalyzerTPU
+
+    paths = list(args.images)
+    if len(paths) == 1 and os.path.isdir(paths[0]):
+        root = paths[0]
+        paths = sorted(
+            os.path.join(root, f) for f in os.listdir(root)
+            if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp", ".webp"))
+        )
+    if not paths:
+        print("no images found", file=sys.stderr)
+        return 1
+
+    yolo_vars = load_variables(args.yolo_checkpoint) if args.yolo_checkpoint else None
+    sam_vars = load_variables(args.sam2_checkpoint) if args.sam2_checkpoint else None
+    cfg = PipelineConfig(
+        detector=DetectorConfig(scale=args.scale, img_size=args.det_size),
+        use_sam2=sam_vars is not None or args.force_sam2,
+    )
+    analyzer = CircuitAnalyzerTPU(
+        config=cfg,
+        yolo_variables=yolo_vars,
+        sam2_variables=sam_vars,
+        use_sam2=cfg.use_sam2,
+    )
+
+    import time
+
+    images = [load_image(p) for p in paths]
+    t0 = time.time()
+    results = analyzer.analyze_batch(images, batch_size=args.batch_size)
+    dt = time.time() - t0
+
+    if args.out_dir:
+        os.makedirs(args.out_dir, exist_ok=True)
+    for path, res in zip(paths, results):
+        name = os.path.splitext(os.path.basename(path))[0]
+        n_lines = len((res.netlist_text or "").splitlines())
+        print(f"{name}: {len(res.bboxes_orig_nms)} detections, "
+              f"{len(res.nodes)} nodes, {n_lines} netlist lines")
+        if args.out_dir:
+            with open(os.path.join(args.out_dir, f"{name}.cir"), "w") as f:
+                f.write((res.netlist_text or "") + "\n")
+    print(f"{len(images)} images in {dt:.2f}s "
+          f"({len(images) / dt:.2f} images/s incl. compile)")
+    return 0
+
+
+def _cmd_serve(args) -> int:
+    from . import webapp
+
+    argv = ["--port", str(args.port), "--scale", args.scale]
+    if args.yolo_checkpoint:
+        argv += ["--yolo-checkpoint", args.yolo_checkpoint]
+    if args.sam2_checkpoint:
+        argv += ["--sam2-checkpoint", args.sam2_checkpoint]
+    return webapp.main(argv) or 0
+
+
 def _cmd_simulate(args) -> int:
     from .core.config import SimConfig
     from .netlist.values import detect_analysis_mode
@@ -94,6 +164,11 @@ def _cmd_simulate(args) -> int:
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="circuitvision_tpu")
+    parser.add_argument(
+        "--platform", choices=["auto", "cpu", "tpu"], default="auto",
+        help="force the jax platform (default: auto-detect; 'cpu' also "
+        "wins over a TPU plugin that rewrites JAX_PLATFORMS)",
+    )
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     pa = sub.add_parser("analyze", help="image → netlist (± simulation)")
@@ -108,16 +183,48 @@ def main(argv=None) -> int:
     pa.add_argument("--force-sam2", action="store_true",
                     help="use SAM2 with random weights (debug)")
 
+    pb = sub.add_parser(
+        "analyze-batch",
+        help="mesh-sharded batched analysis of many images (throughput path)",
+    )
+    pb.add_argument("images", nargs="+",
+                    help="image paths, or a single directory of images")
+    pb.add_argument("--out-dir", help="write per-image netlists here")
+    pb.add_argument("--batch-size", type=int, default=None)
+    pb.add_argument("--scale", default="l", choices=list("nsmlx"))
+    pb.add_argument("--det-size", type=int, default=640,
+                    help="detector input size (smaller = faster CPU tests)")
+    pb.add_argument("--yolo-checkpoint")
+    pb.add_argument("--sam2-checkpoint")
+    pb.add_argument("--force-sam2", action="store_true")
+
     ps = sub.add_parser("simulate", help="simulate an existing netlist file")
     ps.add_argument("netlist")
     ps.add_argument("--mode", choices=["dc", "ac"], default=None)
     ps.add_argument("--frequency", type=float, default=60.0)
 
+    pv = sub.add_parser("serve", help="start the web UI (webapp.py)")
+    pv.add_argument("--port", type=int, default=8501)
+    pv.add_argument("--scale", default="l", choices=list("nsmlx"))
+    pv.add_argument("--yolo-checkpoint")
+    pv.add_argument("--sam2-checkpoint")
+
     args = parser.parse_args(argv)
+    if getattr(args, "platform", "auto") != "auto":
+        # Must win over the TPU plugin's JAX_PLATFORMS rewrite (the env
+        # var alone is rewritten to "axon,cpu"; the explicit config
+        # update is authoritative — same pattern as __graft_entry__).
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     if args.cmd == "analyze":
         return _cmd_analyze(args)
+    if args.cmd == "analyze-batch":
+        return _cmd_analyze_batch(args)
     if args.cmd == "simulate":
         return _cmd_simulate(args)
+    if args.cmd == "serve":
+        return _cmd_serve(args)
     return 1
 
 
