@@ -54,52 +54,60 @@ def summarize_components(bboxes: Sequence[BBox]) -> str:
     return "Detected: " + ", ".join(parts)
 
 
-def _region_boundary(region: np.ndarray) -> np.ndarray:
-    """Boundary of a boolean region: pixels with any 8-neighbor outside
-    (image border counts as outside, like cv2.findContours)."""
-    er = region.copy()
-    padded = np.pad(region, 1, mode="constant")
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            er &= padded[1 + dy : 1 + dy + region.shape[0],
-                         1 + dx : 1 + dx + region.shape[1]]
-    return region & ~er
-
-
-def _dilate_bool(mask: np.ndarray, radius: int) -> np.ndarray:
-    out = np.zeros_like(mask)
-    padded = np.pad(mask, radius, mode="constant")
-    h, w = mask.shape
-    for dy in range(-radius, radius + 1):
-        for dx in range(-radius, radius + 1):
-            if dy * dy + dx * dx <= radius * radius:
-                out |= padded[radius + dy : radius + dy + h,
-                              radius + dx : radius + dx + w]
+def contour_viz(shape_hw: tuple[int, int], contours: Sequence) -> np.ndarray:
+    """Colored wire-contour debug image, BYTE-IDENTICAL to the reference
+    get_contours viz (src/circuit_analyzer.py:405-458): black canvas,
+    each kept contour's CHAIN_APPROX_SIMPLE polygon drawn with
+    cv2.drawContours thickness 2 in the 15-color palette, red id at the
+    int-truncated moments centroid + (10, 10)."""
+    try:
+        import cv2
+    except Exception:  # pragma: no cover - cv2 always present in this env
+        cv2 = None
+    h, w = shape_hw
+    out = np.zeros((h, w, 3), np.uint8)
+    for i, ct in enumerate(contours):
+        color = BRIGHT_COLORS[i % len(BRIGHT_COLORS)]
+        cx, cy = ct.centroid if ct.m00 != 0 else (0, 0)  # reference :449-451
+        if cv2 is not None:
+            poly = np.asarray(ct.vertices, np.int32).reshape(-1, 1, 2)
+            cv2.drawContours(out, [poly], -1, color, 2)
+            cv2.putText(out, str(i), (int(cx) + 10, int(cy) + 10),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, (255, 0, 0), 2)
+        else:  # pragma: no cover - structural fallback
+            xs = np.clip(ct.vertices[:, 0], 0, w - 1)
+            ys = np.clip(ct.vertices[:, 1], 0, h - 1)
+            out[ys, xs] = color
     return out
 
 
-def contour_viz(
-    label_image: np.ndarray,
-    kept_labels: Sequence[int],
-    centroids: Sequence[tuple[int, int]],
+def node_viz(
+    resized_mask_u8: np.ndarray, nodes: Sequence[Node], contour_by_label: dict
 ) -> np.ndarray:
-    """Colored wire-contour debug image (reference get_contours viz,
-    src/circuit_analyzer.py:405-458): each kept contour outlined ~2 px
-    thick in the 15-color palette with its red id at the centroid."""
+    """Final node visualization, BYTE-IDENTICAL to the reference
+    (src/circuit_analyzer.py:1584-1599): the resized (pre-enhance)
+    emptied mask GRAY2BGR, each final node's contour drawn green
+    thickness 2 with its renumbered id in red at (cx-10, cy+10), scale
+    0.9 — drawing skipped for zero-area contours, like the m00 guard."""
     try:
         import cv2
     except Exception:  # pragma: no cover
         cv2 = None
-    h, w = label_image.shape[:2]
-    out = np.zeros((h, w, 3), np.uint8)
-    for i, (lbl, (cx, cy)) in enumerate(zip(kept_labels, centroids)):
-        region = label_image == lbl
-        bnd = _dilate_bool(_region_boundary(region), 1)  # thickness ≈ 2
-        out[bnd] = BRIGHT_COLORS[i % len(BRIGHT_COLORS)]
-        if cv2 is not None:
-            cv2.putText(out, str(i), (int(cx) + 10, int(cy) + 10),
-                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, (255, 0, 0), 2)
-    return out
+    base = np.ascontiguousarray(
+        np.stack([np.asarray(resized_mask_u8, np.uint8)] * 3, axis=-1)
+    )
+    if cv2 is None:  # pragma: no cover - structural fallback
+        return base
+    for node in nodes:
+        ct = contour_by_label.get(node.label)
+        if ct is None or ct.m00 == 0:
+            continue
+        cx, cy = ct.centroid
+        poly = np.asarray(ct.vertices, np.int32).reshape(-1, 1, 2)
+        cv2.drawContours(base, [poly], -1, (0, 255, 0), 2)
+        cv2.putText(base, str(node.id), (int(cx) - 10, int(cy) + 10),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.9, (0, 0, 255), 2)
+    return base
 
 
 def connection_points_viz(
@@ -119,27 +127,4 @@ def connection_points_viz(
             out[max(0, int(y) - 2) : int(y) + 3, max(0, int(x) - 2) : int(x) + 3] = (
                 0, 255, 255,
             )
-    return out
-
-
-def node_overlay(
-    mask_or_image: np.ndarray, nodes: Sequence[Node], label_image: np.ndarray = None
-) -> np.ndarray:
-    """Node visualization: colored regions + node ids at centroids."""
-    try:
-        import cv2
-    except Exception:  # pragma: no cover
-        return np.asarray(mask_or_image)
-    base = np.asarray(mask_or_image)
-    if base.ndim == 2:
-        base = np.stack([base] * 3, axis=-1)
-    out = np.ascontiguousarray(base.astype(np.uint8).copy())
-    for node in nodes:
-        if label_image is not None and node.label >= 0:
-            color = BRIGHT_COLORS[node.id % len(BRIGHT_COLORS)]
-            region = label_image == node.label
-            out[region] = color
-        cx, cy = int(node.centroid[0]), int(node.centroid[1])
-        cv2.putText(out, str(node.id), (cx - 10, cy + 10),
-                    cv2.FONT_HERSHEY_SIMPLEX, 0.9, (0, 0, 255), 2)
     return out

@@ -325,14 +325,7 @@ class CircuitAnalyzerTPU:
                 result.enhanced_mask = extraction.enhanced_mask
                 result.contour_visualization = extraction.contour_viz
                 result.connection_points_visualization = extraction.connection_viz
-                if extraction.nodes:
-                    from ..core.viz import node_overlay
-
-                    result.node_visualization = node_overlay(
-                        extraction.enhanced_mask,
-                        extraction.nodes,
-                        extraction.label_image,
-                    )
+                result.node_visualization = extraction.node_viz
             except Exception:
                 logger.exception("node analysis failed; continuing")
         else:

@@ -101,6 +101,31 @@ def _load_lib():
 _MAX_CONTOURS = 4096
 
 
+def _cv2_vertex_order(verts: np.ndarray, root: int, w: int) -> np.ndarray:
+    """Reorder an emitted vertex sequence into cv2's exact traversal.
+
+    The chain walk emits direction-change vertices in the rotation
+    opposite to cv2.findContours'; reversing reproduces cv2's sequence
+    (the vertex SET is direction-invariant: a pixel is a vertex iff its
+    in/out steps differ, which is symmetric under reversal). cv2 always
+    emits the trace start — the component's raster-first pixel, our
+    `root` — as the FIRST point, even when it lies mid-run (collinear);
+    insert it if the reversal does not already lead with it. Pinned
+    sequence-exact against cv2 in tests/test_native_contours.py."""
+    if len(verts) < 2:
+        return verts
+    v = np.ascontiguousarray(verts[::-1])
+    sx, sy = root % w, root // w
+    if v[0, 0] == sx and v[0, 1] == sy:
+        return v
+    idx = np.nonzero((v[:, 0] == sx) & (v[:, 1] == sy))[0]
+    if len(idx):
+        return np.ascontiguousarray(np.roll(v, -int(idx[0]), axis=0))
+    return np.ascontiguousarray(
+        np.concatenate([np.asarray([[sx, sy]], v.dtype), v], axis=0)
+    )
+
+
 def trace_contours(fg: np.ndarray, force_python: bool = False) -> list[Contour]:
     """Top-level outer contours of a boolean/0-255 raster, in cv2
     RETR_EXTERNAL output order (reverse raster discovery)."""
@@ -129,9 +154,12 @@ def trace_contours(fg: np.ndarray, force_python: bool = False) -> list[Contour]:
                 s = stats[9 * k : 9 * k + 9]
                 out.append(
                     Contour(
-                        vertices=verts[2 * offsets[k] : 2 * offsets[k + 1]]
-                        .reshape(-1, 2)
-                        .copy(),
+                        vertices=_cv2_vertex_order(
+                            verts[2 * offsets[k] : 2 * offsets[k + 1]]
+                            .reshape(-1, 2)
+                            .copy(),
+                            int(s[8]), w,
+                        ),
                         area=float(s[0]), m00=float(s[1]),
                         m10=float(s[2]), m01=float(s[3]),
                         rect=(int(s[4]), int(s[5]), int(s[6]), int(s[7])),
@@ -184,7 +212,7 @@ def _trace_contours_python(fg_u8: np.ndarray) -> list[Contour]:
             continue
         y0, x0 = first[c]
         chain = _moore_trace(lab, c, x0, y0, w, h)
-        out.append(_contour_from_chain(chain, root=y0 * w + x0))
+        out.append(_contour_from_chain(chain, root=y0 * w + x0, width=w))
     return out
 
 
@@ -221,7 +249,7 @@ def _moore_trace(lab, c, x0, y0, w, h):
             return chain
 
 
-def _contour_from_chain(chain, root: int = -1) -> Contour:
+def _contour_from_chain(chain, root: int = -1, width: int = 0) -> Contour:
     m = len(chain)
     pts = np.asarray(chain, np.int64)
     if m == 1:
@@ -234,6 +262,8 @@ def _contour_from_chain(chain, root: int = -1) -> Contour:
     dout = nxt - pts
     is_vert = (din != dout).any(axis=1)
     verts = pts[is_vert].astype(np.int32)
+    if width:
+        verts = _cv2_vertex_order(verts, root, width)
     cross = pts[:, 0] * nxt[:, 1] - nxt[:, 0] * pts[:, 1]
     a2 = float(cross.sum())
     m10 = float((cross * (pts[:, 0] + nxt[:, 0])).sum()) / 6.0

@@ -85,6 +85,9 @@ class NodeExtraction:
     contour_viz: Optional[np.ndarray] = None
     #: contour viz + cyan terminal contact points (reference :1598-1601)
     connection_viz: Optional[np.ndarray] = None
+    #: final nodes drawn on the resized pre-enhance mask (reference
+    #: :1584-1599); fetch_viz only
+    node_viz: Optional[np.ndarray] = None
 
 
 def _prepare_raster(
@@ -208,7 +211,10 @@ def _topology_program(cfg: TopologyConfig, in_h: int, in_w: int, max_comp: int):
         bits = padded.reshape(new_h, w8, 8)
         weights = jnp.asarray((128, 64, 32, 16, 8, 4, 2, 1), jnp.uint32)
         packed = (bits * weights).sum(-1).astype(jnp.uint8)
-        return enhanced_u8, labels, packed
+        # `resized` (pre-enhance) is the base of the reference's node
+        # visualization (src/circuit_analyzer.py:1584-1586); fetched
+        # only on the viz path.
+        return enhanced_u8, labels, packed, resized
 
     return jax.jit(program), (new_h, new_w)
 
@@ -252,21 +258,25 @@ def extract_nodes(
     )
 
     # 2. One device dispatch for resize→enhance→label/pack.
-    enhanced_dev, labels_dev, packed_dev = program(jnp.asarray(emptied, jnp.float32))
+    enhanced_dev, labels_dev, packed_dev, resized_dev = program(
+        jnp.asarray(emptied, jnp.float32)
+    )
 
     # One batched host fetch (sequential np.asarray calls each pay a full
     # round trip on remote-attached TPUs).
     fetch = [packed_dev]
     if fetch_viz:
-        fetch += [enhanced_dev, labels_dev]
+        fetch += [enhanced_dev, labels_dev, resized_dev]
     fetched = jax.device_get(fetch)
     fg = np.unpackbits(fetched[0], axis=1)[:, :new_w].astype(bool)
     if fetch_viz:
         enhanced_u8 = fetched[1].astype(np.uint8)
         labels = fetched[2]
+        resized_u8 = fetched[3].astype(np.uint8)
     else:
         enhanced_u8 = None
         labels = None
+        resized_u8 = None
 
     # 3-5. cv2-exact contour trace / polygon stats / vertex touch on host
     # (host_cc.contour_touch_stage_host) — identical backend to the
@@ -285,20 +295,36 @@ def extract_nodes(
         resized_bboxes, comp_indices, np.arange(k), centroids, rel_area,
         np.ones(k, bool), touch,
     )
-    cviz = pviz = None
+    cviz = pviz = nviz = None
     if fetch_viz and labels is not None:
-        from ..core.viz import connection_points_viz, contour_viz
+        from ..core.viz import connection_points_viz, contour_viz, node_viz
 
-        cviz = contour_viz(
-            labels,
-            [ct.root for ct in contours],
-            [ct.centroid for ct in contours],
-        )
+        cviz = contour_viz((new_h, new_w), contours)
         pts = _connection_points(contours, touch, resized_bboxes, comp_indices, cfg)
         pviz = connection_points_viz(cviz, pts)
+        # node.label is the compacted contour index in this path
+        # (_assemble_nodes receives np.arange(k) as the label ids).
+        # Base raster: the debug-viz layer draws with cv2 (putText,
+        # drawContours), so when cv2 is present the base also uses
+        # cv2.resize for BYTE parity with the reference image — the
+        # first-party device resize agrees to ±1 gray (fixed-point
+        # rounding), which never affects the analysis raster's
+        # binarization (netlist parity pinned reference-wide) but would
+        # fail a pixel-equality check on this debug image.
+        nviz_base = resized_u8
+        try:
+            import cv2
+
+            nviz_base = cv2.resize(
+                emptied, (new_w, new_h), interpolation=cv2.INTER_LINEAR
+            )
+        except Exception:
+            pass
+        nviz = node_viz(nviz_base, nodes, dict(enumerate(contours)))
     return NodeExtraction(
         nodes, emptied, enhanced_u8, labels, resized_bboxes,
         raw_node_count=raw_count, contour_viz=cviz, connection_viz=pviz,
+        node_viz=nviz,
     )
 
 

@@ -26,6 +26,7 @@ def cv2_contours(fg: np.ndarray):
         out.append(
             {
                 "verts": {tuple(p) for p in c.reshape(-1, 2).tolist()},
+                "seq": c.reshape(-1, 2),
                 "area": cv2.contourArea(c),
                 "m": M,
                 "rect": (x, y, x + w - 1, y + h - 1),
@@ -42,6 +43,13 @@ def assert_matches_cv2(fg, force_python: bool):
         assert g.rect == w_["rect"], f"contour {k} rect"
         assert {tuple(p) for p in g.vertices.tolist()} == w_["verts"], (
             f"contour {k} vertex set"
+        )
+        # Sequence-exact: the reference's terminal walk takes the FIRST
+        # matching vertex (connection-point viz), so traversal order and
+        # start point must equal cv2's.
+        assert np.array_equal(g.vertices, w_["seq"]), (
+            f"contour {k} vertex sequence\nours: {g.vertices.tolist()}\n"
+            f"cv2:  {w_['seq'].tolist()}"
         )
         assert g.area == pytest.approx(w_["area"], abs=1e-6), f"contour {k} area"
         if w_["m"]["m00"] != 0:

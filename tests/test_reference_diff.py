@@ -675,3 +675,41 @@ class TestAnnotatedImageMatchesReference:
             want = ref_stats(dicts)
             got = CircuitAnalyzerTPU._component_stats(c.boxes)
             assert want == got, (c.name, want, got)
+
+
+class TestNodeStageArtifactsMatchReference:
+    def test_debug_images_byte_equal(self, ref):
+        """The node stage's debug artifacts vs the reference's own
+        get_node_connections outputs (src/circuit_analyzer.py:1286-1605)
+        on identical (mask, detections): the emptied mask, the colored
+        contour viz (drawContours polygons + red ids), the final node viz
+        (green contours + ids on the resized emptied mask), and the
+        connection-points viz (cyan circles at the FIRST matching
+        CHAIN_APPROX_SIMPLE vertex per touching pair) must all be
+        BYTE-IDENTICAL. Requires the tracer's vertex sequences to equal
+        cv2's exactly (tests/test_native_contours.py)."""
+        import contextlib
+        import copy as _copy
+        import io as _io
+
+        import numpy as np
+
+        from circuitvision_tpu.core.config import TopologyConfig
+        from circuitvision_tpu.eval.synth import make_circuits
+        from circuitvision_tpu.topology.nodes import extract_nodes
+
+        for c in make_circuits():
+            dicts = [bbox_to_ref_dict(b) for b in c.boxes]
+            with contextlib.redirect_stdout(_io.StringIO()):
+                (_nodes, r_emptied, _r_enh, r_cviz, r_nviz, r_pviz
+                 ) = ref.get_node_connections(
+                    None, c.wire_mask.copy(), _copy.deepcopy(dicts))
+            ex = extract_nodes(c.wire_mask, list(c.boxes), TopologyConfig())
+            np.testing.assert_array_equal(
+                r_emptied, ex.emptied_mask, err_msg=f"{c.name} emptied")
+            np.testing.assert_array_equal(
+                r_cviz, ex.contour_viz, err_msg=f"{c.name} contour_viz")
+            np.testing.assert_array_equal(
+                r_nviz, ex.node_viz, err_msg=f"{c.name} node_viz")
+            np.testing.assert_array_equal(
+                r_pviz, ex.connection_viz, err_msg=f"{c.name} connection_viz")
