@@ -144,3 +144,48 @@ class TestRandomized:
             for _ in range(int(rng.integers(0, 10))):
                 fg[rng.integers(0, h), rng.integers(0, w)] = 1
             assert_matches_cv2(fg, force_python)
+
+
+class TestAdversarial:
+    """Sequence-exactness on hostile shapes: diagonal 1-px staircases (the
+    start pixel can sit mid-run), spirals, random noise fields, and
+    border-hugging rings."""
+
+    @pytest.mark.parametrize("force_python", [False, True])
+    def test_diagonal_staircases(self, force_python):
+        for t in (1, 2):
+            fg = np.zeros((60, 80), np.uint8)
+            for i in range(40):
+                fg[10 + i // 2 : 10 + i // 2 + t, 10 + i : 10 + i + t] = 1
+            assert_matches_cv2(fg, force_python)
+            assert_matches_cv2(fg[::-1].copy(), force_python)
+            assert_matches_cv2(fg[:, ::-1].copy(), force_python)
+
+    @pytest.mark.parametrize("force_python", [False, True])
+    def test_spiral(self, force_python):
+        fg = np.zeros((81, 81), np.uint8)
+        x0, y0, x1, y1 = 2, 2, 78, 78
+        while x1 - x0 > 6:
+            fg[y0 : y0 + 2, x0:x1] = 1
+            fg[y0:y1, x1 - 2 : x1] = 1
+            fg[y1 - 2 : y1, x0 + 6 : x1] = 1
+            fg[y0 + 6 : y1, x0 : x0 + 2] = 1
+            x0 += 6; y0 += 6; x1 -= 6; y1 -= 6
+        assert_matches_cv2(fg, force_python)
+
+    @pytest.mark.parametrize("force_python", [False, True])
+    def test_dense_noise(self, force_python):
+        rng = np.random.default_rng(23)
+        for p in (0.2, 0.5, 0.8):
+            fg = (rng.random((70, 90)) < p).astype(np.uint8)
+            assert_matches_cv2(fg, force_python)
+
+    @pytest.mark.parametrize("force_python", [False, True])
+    def test_border_ring_and_full(self, force_python):
+        fg = np.zeros((40, 50), np.uint8)
+        fg[0, :] = fg[-1, :] = 1
+        fg[:, 0] = fg[:, -1] = 1
+        assert_matches_cv2(fg, force_python)
+        assert_matches_cv2(np.ones((30, 30), np.uint8), force_python)
+        assert_matches_cv2(np.ones((1, 30), np.uint8), force_python)
+        assert_matches_cv2(np.ones((30, 1), np.uint8), force_python)
