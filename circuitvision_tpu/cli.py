@@ -89,13 +89,16 @@ def _cmd_analyze_batch(args) -> int:
     from .models.checkpoint import load_variables
     from .pipeline.analyzer import CircuitAnalyzerTPU
 
-    paths = list(args.images)
-    if len(paths) == 1 and os.path.isdir(paths[0]):
-        root = paths[0]
-        paths = sorted(
-            os.path.join(root, f) for f in os.listdir(root)
-            if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp", ".webp"))
-        )
+    exts = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+    paths = []
+    for p in args.images:
+        if os.path.isdir(p):
+            paths.extend(sorted(
+                os.path.join(p, f) for f in os.listdir(p)
+                if f.lower().endswith(exts)
+            ))
+        else:
+            paths.append(p)
     if not paths:
         print("no images found", file=sys.stderr)
         return 1

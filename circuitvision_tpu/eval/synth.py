@@ -338,7 +338,9 @@ def _from_mask(name, category, mask, boxes, pins, directions=None,
         boxes=boxes,
         wire_mask=mask,
         vlm_labels=_labels_for(boxes),
-        directions=dict(directions or _HOSTILE_DIRECTIONS),
+        directions=dict(
+            directions if directions is not None else _HOSTILE_DIRECTIONS
+        ),
         netlist_text=pin.get("final", ""),
         valueless_text=pin.get("valueless", ""),
         category=category,

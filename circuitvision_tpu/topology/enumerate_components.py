@@ -1,4 +1,4 @@
-"""Component enumeration: draw red visual IDs for the VLM value pass.
+"""Component enumeration: draw visual IDs for the VLM value pass.
 
 Re-implements enumerate_components (src/circuit_analyzer.py:479-785):
 eight candidate positions around each component are tested against the
@@ -60,7 +60,9 @@ def _draw_number(img: np.ndarray, text: str, org: tuple[int, int], font_scale: f
         from PIL import Image, ImageDraw
 
         pil = Image.fromarray(img)
-        ImageDraw.Draw(pil).text((org[0], org[1] - 16), text, fill=(255, 0, 0))
+        # Same literal color quirk as the cv2 path: the reference
+        # passes BGR-red (0,0,255) onto the RGB image.
+        ImageDraw.Draw(pil).text((org[0], org[1] - 16), text, fill=(0, 0, 255))
         img[:] = np.asarray(pil)
 
 
@@ -88,7 +90,7 @@ def enumerate_components(
     bboxes: Sequence[BBox],
     excluded_labels: Optional[frozenset] = None,
 ) -> tuple[np.ndarray, list[BBox]]:
-    """Draw red IDs next to electrical components. Returns
+    """Draw visual IDs next to electrical components. Returns
     (annotated image copy, boxes-with-visual-ids)."""
     img = np.asarray(image).copy()
     h, w = img.shape[:2]

@@ -263,16 +263,25 @@ def extract_nodes(
     )
 
     # One batched host fetch (sequential np.asarray calls each pay a full
-    # round trip on remote-attached TPUs).
+    # round trip on remote-attached TPUs). The resized (pre-enhance)
+    # raster is only needed as the node-viz BASE when cv2 is absent —
+    # with cv2 present the base is recomputed on host with cv2.resize
+    # for byte parity, so skip that transfer entirely.
+    try:
+        import cv2 as _cv2
+    except ImportError:  # pragma: no cover - cv2 always present in env
+        _cv2 = None
     fetch = [packed_dev]
     if fetch_viz:
-        fetch += [enhanced_dev, labels_dev, resized_dev]
+        fetch += [enhanced_dev, labels_dev]
+        if _cv2 is None:
+            fetch.append(resized_dev)
     fetched = jax.device_get(fetch)
     fg = np.unpackbits(fetched[0], axis=1)[:, :new_w].astype(bool)
     if fetch_viz:
         enhanced_u8 = fetched[1].astype(np.uint8)
         labels = fetched[2]
-        resized_u8 = fetched[3].astype(np.uint8)
+        resized_u8 = fetched[3].astype(np.uint8) if _cv2 is None else None
     else:
         enhanced_u8 = None
         labels = None
@@ -311,15 +320,12 @@ def extract_nodes(
         # rounding), which never affects the analysis raster's
         # binarization (netlist parity pinned reference-wide) but would
         # fail a pixel-equality check on this debug image.
-        nviz_base = resized_u8
-        try:
-            import cv2
-
-            nviz_base = cv2.resize(
-                emptied, (new_w, new_h), interpolation=cv2.INTER_LINEAR
+        if _cv2 is not None:
+            nviz_base = _cv2.resize(
+                emptied, (new_w, new_h), interpolation=_cv2.INTER_LINEAR
             )
-        except Exception:
-            pass
+        else:
+            nviz_base = resized_u8
         nviz = node_viz(nviz_base, nodes, dict(enumerate(contours)))
     return NodeExtraction(
         nodes, emptied, enhanced_u8, labels, resized_bboxes,

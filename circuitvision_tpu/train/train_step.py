@@ -53,7 +53,9 @@ def trainable_mask(params: dict) -> dict:
     return jax.tree_util.tree_map_with_path(check, params)
 
 
-def make_optimizer(params: dict, cfg: Optional[TrainConfig] = None):
+def make_optimizer(
+    params: dict, cfg: Optional[TrainConfig] = None, mask: Optional[dict] = None
+):
     """Adam on the trainable surface, hard-frozen elsewhere.
 
     NOT optax.masked(adam, mask): masked passes the un-masked leaves'
@@ -62,9 +64,13 @@ def make_optimizer(params: dict, cfg: Optional[TrainConfig] = None):
     the loss within a few steps (caught by scripts/train_demo.py).
     multi_transform routes frozen leaves to set_to_zero(), which also
     keeps their optimizer state empty (no moment buffers for the frozen
-    ~78% of SAM2-L)."""
+    ~78% of SAM2-L).
+
+    mask: optional boolean pytree overriding the default reference
+    LoRA-parity surface (e.g. all-True for a full fine-tune)."""
     cfg = cfg or TrainConfig()
-    mask = trainable_mask(params)
+    if mask is None:
+        mask = trainable_mask(params)
     labels = jax.tree.map(lambda m: "train" if m else "freeze", mask)
     tx = optax.multi_transform(
         {"train": optax.adam(cfg.learning_rate), "freeze": optax.set_to_zero()},

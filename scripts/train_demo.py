@@ -33,8 +33,6 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-import optax
-
 
 def small_cfg():
     from circuitvision_tpu.core.config import SAM2Config
@@ -96,6 +94,7 @@ def main():
         init_params,
     )
     from circuitvision_tpu.train.train_step import (
+        make_optimizer,
         make_train_step,
         trainable_mask,
     )
@@ -117,12 +116,7 @@ def main():
     print(f"surface={args.surface}: {n_train:,}/{n_total:,} params trainable "
           f"({100 * n_train / n_total:.1f}%)")
 
-    labels = jax.tree.map(lambda m: "train" if m else "freeze", mask)
-    tx = optax.multi_transform(
-        {"train": optax.adam(tcfg.learning_rate),
-         "freeze": optax.set_to_zero()},
-        param_labels=labels,
-    )
+    tx, _ = make_optimizer(variables, tcfg, mask=mask)
     opt_state = tx.init(variables)
     step = jax.jit(make_train_step(model, tx, tcfg))
 

@@ -584,11 +584,22 @@ class TestVLMResponseParserMatchesReference:
 
         openai_stub.OpenAI = _OpenAI
         openai_stub.APIError = _APIError
-        os.environ.setdefault("OPENROUTER_API_KEY", "test-key")
         from src.utils import gemini_labels_openrouter
 
         img = np.zeros((4, 4, 3), np.uint8)
-        return gemini_labels_openrouter(img)
+        # Scope the key: leaking it into the process would flip
+        # enrich.client.default_client() from None to a real HTTP client
+        # for every later test in this pytest process.
+        had = "OPENROUTER_API_KEY" in os.environ
+        prev = os.environ.get("OPENROUTER_API_KEY")
+        os.environ["OPENROUTER_API_KEY"] = "test-key"
+        try:
+            return gemini_labels_openrouter(img)
+        finally:
+            if had:
+                os.environ["OPENROUTER_API_KEY"] = prev
+            else:
+                del os.environ["OPENROUTER_API_KEY"]
 
     def test_corpus_matches(self, ref):
         from circuitvision_tpu.enrich.client import parse_vlm_list
