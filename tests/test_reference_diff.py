@@ -724,3 +724,182 @@ class TestNodeStageArtifactsMatchReference:
                 r_nviz, ex.node_viz, err_msg=f"{c.name} node_viz")
             np.testing.assert_array_equal(
                 r_pviz, ex.connection_viz, err_msg=f"{c.name} connection_viz")
+
+
+# ---------------------------------------------------------------------------
+# SPICE deck preprocessing (src/spice_simulator.py:9-219)
+# ---------------------------------------------------------------------------
+
+
+_REF_SIM_CACHE: dict = {}
+
+
+def _load_reference_sim():
+    """Import the reference spice_simulator with a recording PySpice stub.
+
+    The reference's DC/AC entry points build the full deck text and hand
+    it to PySpice's SpiceParser (src/spice_simulator.py:62, 206); the
+    stub captures that source string and aborts, so the functions'
+    PREPROCESSING (reactance commenting, AC source/C/L rewriting,
+    stringification) runs for real while the unavailable native solver
+    never does. Returns (module, captured) where captured["deck"] holds
+    the last deck handed to the parser.
+
+    Singleton: the reference module binds SpiceParser at import time
+    (`from PySpice.Spice.Parser import SpiceParser`), so a second stub
+    installation would record into a dict the cached module no longer
+    writes to."""
+    if "sim" in _REF_SIM_CACHE:
+        return _REF_SIM_CACHE["sim"]
+    import contextlib
+    import importlib
+    import sys
+    import types
+
+    from tests.ref_loader import REF_ROOT, install_stubs
+
+    install_stubs()
+    captured: dict[str, str] = {}
+
+    class _Abort(Exception):
+        pass
+
+    class _RecordingParser:
+        def __init__(self, source=None, **kw):
+            captured["deck"] = source
+            raise _Abort("deck captured; solver unavailable")
+
+    pyspice = types.ModuleType("PySpice")
+    spice = types.ModuleType("PySpice.Spice")
+    parser_mod = types.ModuleType("PySpice.Spice.Parser")
+    parser_mod.SpiceParser = _RecordingParser
+    unit_mod = types.ModuleType("PySpice.Unit")
+    unit_mod.u_Hz = lambda x: x
+    pyspice.Spice = spice
+    spice.Parser = parser_mod
+    pyspice.Unit = unit_mod
+    sys.modules["PySpice"] = pyspice
+    sys.modules["PySpice.Spice"] = spice
+    sys.modules["PySpice.Spice.Parser"] = parser_mod
+    sys.modules["PySpice.Unit"] = unit_mod
+
+    # st.expander is used as a context manager around the deck dump
+    # BEFORE the parser runs; the generic no-op stub would raise there.
+    import streamlit as st
+
+    st.expander = lambda *a, **kw: contextlib.nullcontext()
+
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    mod = importlib.import_module("src.spice_simulator")
+    _REF_SIM_CACHE["sim"] = (mod, captured)
+    return mod, captured
+
+
+def _quiet_logger():
+    import logging
+
+    lg = logging.getLogger("ref_sim_diff")
+    lg.handlers = []
+    lg.propagate = False
+    lg.addHandler(logging.NullHandler())
+    return lg
+
+
+_AC_LINE_CORPUS = [
+    # (class, type, num, n1, n2, value) — every rewrite rule + failure arm
+    ("voltage.ac", "V", 1, 1, 0, "AC 5V 1kHz 0deg"),
+    ("voltage.ac", "V", 2, 2, 0, "AC 5V 0deg"),
+    ("voltage.dc", "V", 3, 1, 2, "4:-45"),
+    ("voltage.dc", "V", 4, 1, 0, "ac garbage here"),  # AC-ish → "0 AC 1 0"
+    ("current.dc", "I", 1, 2, 0, "weird:stuff"),  # ':' → "0 AC 1 0"
+    ("voltage.dc", "V", 5, 1, 0, "5"),  # plain value unchanged
+    ("voltage.dc", "V", 6, 1, 0, None),  # None → "None" token
+    ("capacitor", "C", 1, 1, 2, "-j50"),  # → 1/(2πf·50)
+    ("capacitor", "C", 2, 1, 2, "-j"),  # empty reactance → Xc=1.0
+    ("capacitor", "C", 3, 1, 2, "-jxyz"),  # ValueError → unchanged
+    ("capacitor", "C", 4, 1, 2, "-j0"),  # Xc<=0 → unchanged
+    ("capacitor", "C", 5, 1, 2, "10u"),  # unchanged
+    ("inductor", "L", 1, 2, 0, "j20"),  # → 20/(2πf)
+    ("inductor", "L", 2, 2, 0, "20j"),  # Xlj form
+    ("inductor", "L", 3, 2, 0, "j"),  # → Xl=1.0
+    ("inductor", "L", 4, 2, 0, "jxy"),  # ValueError → unchanged
+    ("inductor", "L", 5, 2, 0, "-5j"),  # Xl<0 → unchanged
+    ("gnd", "0", 1, 0, 0, None),  # skipped entirely
+    ("resistor", "R", 1, 1, 2, "100"),
+]
+
+
+class TestSimPreprocessMatchesReference:
+    def test_dc_deck_text(self, ref):
+        """perform_dc_spice_analysis's deck (reactance commenting +
+        .title/.end wrap, src/spice_simulator.py:16-54) vs
+        sim.engine.perform_dc_analysis's DCResult.deck — byte equal."""
+        mod, captured = _load_reference_sim()
+        from circuitvision_tpu.sim.engine import perform_dc_analysis
+
+        netlists = [
+            "V1 1 0 5\nR1 1 2 100\nR2 2 0 100",
+            # C/L reactance lines get commented out, others kept
+            "V1 1 0 5\nC1 1 2 -j50\nL1 2 0 j20\nC2 2 0 10u\nl2 2 0 -j3",
+            # leading whitespace preserved, empty lines preserved
+            "V1 1 0 5\n\n   R1 1 2 100\n  c9 1 0 j1 extra",
+            # short C line (len<4) is NOT problematic
+            "C1 1 2\nL1 2 0 j5",
+        ]
+        for text in netlists:
+            captured.clear()
+            mod.perform_dc_spice_analysis(text, _quiet_logger())
+            assert captured.get("deck"), f"reference did not parse: {text!r}"
+            got = perform_dc_analysis(text).deck
+            assert got == captured["deck"], (
+                f"DC deck diverges for {text!r}:\n"
+                f"reference:\n{captured['deck']}\nrepo:\n{got}"
+            )
+
+    def test_ac_body_text(self, ref):
+        """perform_ac_spice_analysis's rewritten netlist body (source
+        phasor rewrite, C/L reactance→value conversion, stringify,
+        src/spice_simulator.py:126-199) vs perform_ac_analysis — byte
+        equal, including float repr of converted C/L values."""
+        mod, captured = _load_reference_sim()
+        from circuitvision_tpu.core.types import NetlistLine
+        from circuitvision_tpu.sim.engine import perform_ac_analysis
+
+        title = ".title detected_circuit_ac\n"
+        for freq in (1000.0, 437.5, 60.0):
+            dicts = [
+                {
+                    "class": cls,
+                    "component_type": ct,
+                    "component_num": num,
+                    "node_1": n1,
+                    "node_2": n2,
+                    "value": val,
+                }
+                for cls, ct, num, n1, n2, val in _AC_LINE_CORPUS
+            ]
+            captured.clear()
+            mod.perform_ac_spice_analysis(
+                {"netlist": dicts}, ref, freq, _quiet_logger()
+            )
+            assert captured.get("deck"), "reference did not reach the parser"
+            ref_body = captured["deck"].split("\n* Equivalent SPICE command")[0]
+            assert ref_body.startswith(title)
+            ref_body = ref_body[len(title):]
+
+            lines = [
+                NetlistLine(
+                    component_type=ct, component_num=num, node_1=n1,
+                    node_2=n2, value=val, class_name=cls,
+                )
+                for cls, ct, num, n1, n2, val in _AC_LINE_CORPUS
+            ]
+            deck = perform_ac_analysis(lines, freq).deck
+            got_body = deck.split("\n* .ac lin 1")[0]
+            assert got_body.startswith(title)
+            got_body = got_body[len(title):]
+            assert got_body == ref_body, (
+                f"AC body diverges at {freq} Hz:\n"
+                f"reference:\n{ref_body}\nrepo:\n{got_body}"
+            )
