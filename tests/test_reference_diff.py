@@ -903,3 +903,91 @@ class TestSimPreprocessMatchesReference:
                 f"AC body diverges at {freq} Hz:\n"
                 f"reference:\n{ref_body}\nrepo:\n{got_body}"
             )
+
+
+# ---------------------------------------------------------------------------
+# Upload ingest / EXIF auto-rotation (src/analysis_pipeline.py:12-95)
+# ---------------------------------------------------------------------------
+
+
+import io as _io_mod
+
+
+class _Upload(_io_mod.BytesIO):
+    """Minimal streamlit UploadedFile stand-in (read/seek + name/type)."""
+
+    def __init__(self, data: bytes, name: str, mime: str):
+        super().__init__(data)
+        self.name = name
+        self.type = mime
+
+
+def _jpeg_with_orientation(arr: "np.ndarray", orientation: int) -> bytes:
+    """Encode arr as JPEG carrying EXIF orientation tag 0x0112."""
+    import io as _io
+
+    from PIL import Image
+
+    img = Image.fromarray(arr)
+    exif = img.getexif()
+    if orientation:
+        exif[0x0112] = orientation
+    buf = _io.BytesIO()
+    img.save(buf, format="JPEG", quality=95, exif=exif.tobytes())
+    return buf.getvalue()
+
+
+class TestUploadIngestMatchesReference:
+    def test_decoded_rotated_image(self, ref, tmp_path):
+        """process_new_upload's decoded + EXIF-auto-rotated
+        `original_image` (src/analysis_pipeline.py:18-78) vs
+        io.image_io.decode_image — pixel-identical for every EXIF
+        orientation 1..8, no-EXIF JPEG, and PNG. (cv2 and PIL decode
+        identically in this environment — both libjpeg-turbo — so the
+        reference's cv2-decode/PIL-rotate split collapses to one array.)"""
+        import importlib
+        import logging
+        import sys
+        import types
+
+        import numpy as np
+
+        from circuitvision_tpu.io.image_io import decode_image
+        from tests.ref_loader import REF_ROOT, install_stubs
+
+        install_stubs()
+        if REF_ROOT not in sys.path:
+            sys.path.insert(0, REF_ROOT)
+        import streamlit as st
+
+        pipeline = importlib.import_module("src.analysis_pipeline")
+
+        rng = np.random.default_rng(7)
+        arr = np.clip(
+            np.cumsum(rng.normal(0, 3, (96, 128, 3)), axis=1) + 128, 0, 255
+        ).astype(np.uint8)
+
+        cases = {}
+        for o in range(1, 9):
+            cases[f"jpeg_o{o}"] = (_jpeg_with_orientation(arr, o), "image/jpeg")
+        cases["jpeg_noexif"] = (_jpeg_with_orientation(arr, 0), "image/jpeg")
+        from PIL import Image
+
+        pbuf = _io_mod.BytesIO()
+        Image.fromarray(arr).save(pbuf, format="PNG")
+        cases["png"] = (pbuf.getvalue(), "image/png")
+
+        lg = logging.getLogger("ref_upload_diff")
+        lg.handlers = [logging.NullHandler()]
+        lg.propagate = False
+        for name, (data, mime) in cases.items():
+            st.session_state = types.SimpleNamespace()
+            up = _Upload(data, f"{name}.{mime.split('/')[-1]}", mime)
+            updir = tmp_path / name
+            pipeline.process_new_upload(up, str(updir), lg)
+            want = st.session_state.active_results["original_image"]
+            got = decode_image(data)
+            assert want.shape == got.shape, (
+                f"{name}: ref {want.shape} vs repo {got.shape}"
+            )
+            np.testing.assert_array_equal(want, got, err_msg=name)
