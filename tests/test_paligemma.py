@@ -1,0 +1,367 @@
+"""PaliGemma on-TPU VLM head (BASELINE.json config 5): conversion +
+composed-forward parity against the OFFICIAL HF torch implementation.
+
+Unlike the SAM2/YOLO twins (hand-written torch models fed by an
+exporter), transformers ships the reference PaliGemma itself, so the
+test drives the REAL production direction: HF state_dict →
+convert_hf_state → Flax, then diffs
+
+  - the vision tower (SigLIP patch conv → blocks → post-LN),
+  - the composed prefill logits (image substitution, sqrt(hidden)
+    scaling, 1-indexed RoPE, bidirectional prefix mask),
+  - greedy generation through the static KV cache (decode-step masking
+    and position bookkeeping)
+
+against torch outputs at a tiny config. This pins every place a
+converted real checkpoint would silently diverge.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax
+import jax.numpy as jnp
+
+from circuitvision_tpu.models.paligemma import (
+    PaliGemma,
+    convert_hf_state,
+    greedy_generate,
+    tiny_config,
+)
+from circuitvision_tpu.models.paligemma.gemma import make_kv_cache
+
+TINY = tiny_config()
+
+
+def _hf_config():
+    from transformers import PaliGemmaConfig
+
+    vc = dict(
+        hidden_size=TINY.vision.hidden_size,
+        intermediate_size=TINY.vision.intermediate_size,
+        num_hidden_layers=TINY.vision.num_hidden_layers,
+        num_attention_heads=TINY.vision.num_attention_heads,
+        image_size=TINY.vision.image_size,
+        patch_size=TINY.vision.patch_size,
+        hidden_act="gelu_pytorch_tanh",
+        layer_norm_eps=TINY.vision.layer_norm_eps,
+        vision_use_head=False,
+    )
+    tc = dict(
+        hidden_size=TINY.text.hidden_size,
+        intermediate_size=TINY.text.intermediate_size,
+        num_hidden_layers=TINY.text.num_hidden_layers,
+        num_attention_heads=TINY.text.num_attention_heads,
+        num_key_value_heads=TINY.text.num_key_value_heads,
+        head_dim=TINY.text.head_dim,
+        vocab_size=TINY.text.vocab_size,
+        rms_norm_eps=TINY.text.rms_norm_eps,
+        rope_theta=TINY.text.rope_theta,
+        hidden_act="gelu_pytorch_tanh",
+        attention_bias=False,
+    )
+    return PaliGemmaConfig(
+        vision_config=vc,
+        text_config=tc,
+        projection_dim=TINY.projection_dim,
+        image_token_index=TINY.image_token_id,
+        pad_token_id=TINY.pad_token_id,
+        bos_token_id=TINY.bos_token_id,
+        eos_token_id=TINY.eos_token_id,
+    )
+
+
+@pytest.fixture(scope="module")
+def pair():
+    from transformers import PaliGemmaForConditionalGeneration
+
+    torch.manual_seed(0)
+    hf = PaliGemmaForConditionalGeneration(_hf_config()).eval()
+    variables = convert_hf_state(hf.state_dict(), TINY)
+    return hf, PaliGemma(TINY), variables
+
+
+def _inputs(batch=2, n_text=4):
+    rng = np.random.default_rng(5)
+    n_img = TINY.num_image_tokens
+    ids = np.concatenate(
+        [
+            np.full((batch, n_img), TINY.image_token_id, np.int64),
+            np.full((batch, 1), TINY.bos_token_id, np.int64),
+            rng.integers(10, 280, (batch, n_text)),
+        ],
+        axis=1,
+    )
+    px = rng.standard_normal(
+        (batch, TINY.vision.image_size, TINY.vision.image_size, 3)
+    ).astype(np.float32)
+    return ids, px
+
+
+class TestVisionTowerParity:
+    def test_vision_features_match(self, pair):
+        hf, model, variables = pair
+        _, px = _inputs()
+        t_out = hf.model.vision_tower(
+            torch.from_numpy(px.transpose(0, 3, 1, 2))
+        ).last_hidden_state
+        from circuitvision_tpu.models.paligemma.vision import SiglipVisionTower
+
+        tower = SiglipVisionTower(TINY.vision)
+        with jax.default_matmul_precision("highest"):
+            j_out = tower.apply(
+                {"params": variables["params"]["vision_tower"]}, jnp.asarray(px)
+            )
+        np.testing.assert_allclose(
+            np.asarray(j_out), t_out.detach().numpy(), atol=1e-5, rtol=1e-4
+        )
+
+
+class TestComposedForwardParity:
+    def test_prefill_logits_match(self, pair):
+        hf, model, variables = pair
+        ids, px = _inputs()
+        with torch.no_grad():
+            t_logits = hf(
+                input_ids=torch.from_numpy(ids),
+                pixel_values=torch.from_numpy(px.transpose(0, 3, 1, 2)),
+                attention_mask=torch.ones_like(torch.from_numpy(ids)),
+            ).logits
+        b, s = ids.shape
+        k0, v0 = make_kv_cache(TINY.text, b, s)
+        with jax.default_matmul_precision("highest"):
+            j_logits, _, _ = model.apply(
+                variables,
+                jnp.asarray(ids, jnp.int32),
+                jnp.ones((b, s), jnp.int32),
+                k0, v0,
+                jnp.asarray(px),
+                method=PaliGemma.prefill,
+            )
+        np.testing.assert_allclose(
+            np.asarray(j_logits), t_logits.numpy(), atol=2e-4, rtol=1e-3
+        )
+
+    def test_text_only_prefill_matches(self, pair):
+        """No image: pure Gemma semantics (embed scaling, RoPE, masks)."""
+        hf, model, variables = pair
+        rng = np.random.default_rng(9)
+        ids = rng.integers(10, 280, (2, 6))
+        with torch.no_grad():
+            t_logits = hf(
+                input_ids=torch.from_numpy(ids),
+                attention_mask=torch.ones_like(torch.from_numpy(ids)),
+            ).logits
+        k0, v0 = make_kv_cache(TINY.text, 2, 6)
+        with jax.default_matmul_precision("highest"):
+            j_logits, _, _ = model.apply(
+                variables,
+                jnp.asarray(ids, jnp.int32),
+                jnp.ones((2, 6), jnp.int32),
+                k0, v0, None,
+                method=PaliGemma.prefill,
+            )
+        np.testing.assert_allclose(
+            np.asarray(j_logits), t_logits.numpy(), atol=2e-4, rtol=1e-3
+        )
+
+
+class TestGreedyDecodeParity:
+    def test_generate_matches_hf(self, pair):
+        """The static-cache decode loop (cache update positions, decode
+        masks, 1-indexed positions) must reproduce HF's generate()
+        token-for-token, including EOS early-stop padding."""
+        hf, model, variables = pair
+        ids, px = _inputs()
+        max_new = 6
+        with torch.no_grad():
+            gen = hf.generate(
+                input_ids=torch.from_numpy(ids),
+                pixel_values=torch.from_numpy(px.transpose(0, 3, 1, 2)),
+                attention_mask=torch.ones_like(torch.from_numpy(ids)),
+                max_new_tokens=max_new,
+                do_sample=False,
+            )
+        hf_suffix = gen[:, ids.shape[1]:].numpy()
+        with jax.default_matmul_precision("highest"):
+            res = greedy_generate(
+                model, variables,
+                jnp.asarray(ids, jnp.int32), jnp.asarray(px),
+                jnp.ones((ids.shape[0],), bool), max_new,
+            )
+        ours = np.asarray(res.tokens)
+        # HF right-pads finished rows with pad_token_id, as do we.
+        want = np.full_like(ours, TINY.pad_token_id)
+        want[:, : hf_suffix.shape[1]] = hf_suffix
+        np.testing.assert_array_equal(ours, want)
+
+    def test_decode_step_logits_match_hf_cache_path(self, pair):
+        """Logit-level decode parity: teacher-force the SAME token stream
+        through HF's incremental KV-cache forward and our decode_step;
+        every step's logits must agree. (Note prefill is BIDIRECTIONAL
+        over the input by design — prefix-only prefill does not reproduce
+        full-prefill prefix logits, so the comparison anchor is HF's own
+        cache path, not our prefill.)"""
+        hf, model, variables = pair
+        ids, px = _inputs(batch=2)
+        b, s = ids.shape
+        n_steps = 4
+        forced = np.array([[30, 40, 50, 60], [35, 45, 55, 65]], np.int64)
+
+        with torch.no_grad():
+            out = hf(
+                input_ids=torch.from_numpy(ids),
+                pixel_values=torch.from_numpy(px.transpose(0, 3, 1, 2)),
+                attention_mask=torch.ones((b, s), dtype=torch.long),
+                use_cache=True,
+            )
+            hf_steps = []
+            past = out.past_key_values
+            for i in range(n_steps):
+                out = hf(
+                    input_ids=torch.from_numpy(forced[:, i : i + 1]),
+                    attention_mask=torch.ones((b, s + i + 1), dtype=torch.long),
+                    past_key_values=past,
+                    use_cache=True,
+                )
+                past = out.past_key_values
+                hf_steps.append(out.logits[:, 0].numpy())
+
+        k0, v0 = make_kv_cache(TINY.text, b, s + n_steps)
+        mask = jnp.ones((b, s), jnp.int32)
+        with jax.default_matmul_precision("highest"):
+            _, kc, vc = model.apply(
+                variables, jnp.asarray(ids, jnp.int32), mask, k0, v0,
+                jnp.asarray(px), method=PaliGemma.prefill,
+            )
+            for i in range(n_steps):
+                step, kc, vc = model.apply(
+                    variables, jnp.asarray(forced[:, i], jnp.int32),
+                    jnp.int32(s + i), mask, kc, vc,
+                    method=PaliGemma.decode_step,
+                )
+                np.testing.assert_allclose(
+                    np.asarray(step), hf_steps[i], atol=2e-4, rtol=1e-3,
+                    err_msg=f"decode step {i}",
+                )
+
+
+class TestConverterHostility:
+    def test_unconsumed_key_raises(self, pair):
+        hf, _, _ = pair
+        state = dict(hf.state_dict())
+        state["model.language_model.layers.0.mlp.extra.weight"] = torch.zeros(1)
+        with pytest.raises(ValueError, match="unconsumed"):
+            convert_hf_state(state, TINY)
+
+    def test_missing_key_raises(self, pair):
+        hf, _, _ = pair
+        state = dict(hf.state_dict())
+        state.pop("model.language_model.norm.weight")
+        with pytest.raises(KeyError, match="norm.weight"):
+            convert_hf_state(state, TINY)
+
+    def test_untied_head_raises(self, pair):
+        hf, _, _ = pair
+        state = dict(hf.state_dict())
+        state["lm_head.weight"] = state["lm_head.weight"] + 1.0
+        with pytest.raises(ValueError, match="tied"):
+            convert_hf_state(state, TINY)
+
+    def test_old_flat_layout_accepted(self, pair):
+        """Pre-4.52 checkpoints use language_model.model.* — same result."""
+        hf, _, variables = pair
+
+        def old_name(k: str) -> str:
+            k = k.removeprefix("model.")
+            if k.startswith("language_model."):
+                k = "language_model.model." + k[len("language_model."):]
+            if k == "lm_head.weight":
+                k = "language_model.lm_head.weight"
+            return k
+
+        state = {old_name(k): v for k, v in hf.state_dict().items()}
+        v2 = convert_hf_state(state, TINY)
+        a = jax.tree_util.tree_leaves(variables)
+        b = jax.tree_util.tree_leaves(v2)
+        assert all(np.array_equal(x, y) for x, y in zip(a, b))
+
+
+class TestValueReader:
+    """The VLMClient-protocol reader machinery (reader.py): prompt
+    layout, batched single-dispatch generation, tokenizer fallback, and
+    the parse contract shared with the HTTP clients."""
+
+    def _reader(self, **kw):
+        from circuitvision_tpu.models.paligemma.reader import PaliGemmaValueReader
+
+        model = PaliGemma(TINY)
+        ids = jnp.full((1, TINY.num_image_tokens + 2), 3, jnp.int32)
+        k0, v0 = make_kv_cache(TINY.text, 1, ids.shape[1])
+        px = jnp.zeros((1, TINY.vision.image_size, TINY.vision.image_size, 3))
+        variables = model.init(
+            jax.random.PRNGKey(0), ids, jnp.ones_like(ids), k0, v0, px,
+            method=PaliGemma.prefill,
+        )
+        return PaliGemmaValueReader(
+            cfg=TINY, variables=variables, max_new_tokens=6, **kw
+        )
+
+    def test_byte_tokenizer_round_trip(self):
+        from circuitvision_tpu.models.paligemma.reader import ByteTokenizer
+
+        bt = ByteTokenizer(TINY)
+        text = "R1 10kΩ ±5%"
+        assert bt.decode(bt.encode(text)) == text
+        # special ids never appear in encodings
+        specials = {TINY.pad_token_id, TINY.eos_token_id, TINY.bos_token_id,
+                    TINY.image_token_id}
+        assert not specials & set(bt.encode(text))
+
+    def test_prompt_layout(self):
+        r = self._reader()
+        ids = r.build_prompt_ids("task")
+        n = TINY.num_image_tokens
+        assert ids[:n] == [TINY.image_token_id] * n
+        assert ids[n] == TINY.bos_token_id
+        assert r.decode_fn(ids[n + 1:]) == "task\n"
+
+    def test_generate_batched(self):
+        r = self._reader()
+        rng = np.random.default_rng(0)
+        imgs = [
+            rng.integers(0, 255, (40, 52, 3), np.uint8),  # resized path
+            rng.integers(
+                0, 255,
+                (TINY.vision.image_size, TINY.vision.image_size, 3), np.uint8,
+            ),
+        ]
+        texts = r.generate(imgs, "read")
+        assert len(texts) == 2 and all(isinstance(t, str) for t in texts)
+
+    def test_get_labels_parses_via_shared_parser(self):
+        canned = "[{'id': '1', 'class': 'resistor', 'value': '10k'}]"
+        r = self._reader(decode_fn=lambda ids: canned)
+        out = r.get_labels(np.zeros((32, 32, 3), np.uint8))
+        assert out == [{"id": "1", "class": "resistor", "value": "10k"}]
+
+    def test_get_direction_extracts_answer(self):
+        r = self._reader(decode_fn=lambda ids: "the arrow points DOWN (ARROW)")
+        assert r.get_direction(
+            np.zeros((16, 16, 3), np.uint8), "diode"
+        ) == ("DOWN", "ARROW")
+
+    def test_get_labels_noise_raises_like_http_clients(self):
+        """Random weights → noise → the SAME ValueError contract the
+        pipeline's VLM degradation ladder catches (analyzer falls back to
+        the valueless netlist)."""
+        r = self._reader()
+        try:
+            out = r.get_labels(np.zeros((32, 32, 3), np.uint8))
+        except ValueError:
+            return
+        assert isinstance(out, list)  # noise accidentally parsed — still a list
