@@ -413,3 +413,45 @@ class TestPipelineIntegration:
                 {"id": "1", "class": "voltage.dc", "value": "10"},
                 {"id": "2", "class": "resistor", "value": "1k"},
             ]
+
+
+class TestShardedGeneration:
+    def test_data_parallel_generate_matches_single_device(self):
+        """greedy_generate under a data-sharded batch on the 8-virtual-CPU
+        mesh produces the same tokens as the unsharded run (the VLM head's
+        multichip serving story: pure DP over the batch, params
+        replicated — same scheme as detect/segment in pipeline/batch.py)."""
+        import jax
+
+        cpus = jax.devices("cpu")
+        if len(cpus) < 8:
+            pytest.skip("needs the 8-device CPU mesh (conftest XLA flags)")
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        model = PaliGemma(TINY)
+        ids_np, px_np = _inputs(batch=8)
+        ids = jnp.asarray(ids_np, jnp.int32)
+        px = jnp.asarray(px_np)
+        b, s = ids.shape
+        k0, v0 = make_kv_cache(TINY.text, 1, s)
+        variables = model.init(
+            jax.random.PRNGKey(1), ids[:1], jnp.ones((1, s), jnp.int32),
+            k0, v0, px[:1], method=PaliGemma.prefill,
+        )
+        valid = jnp.ones((b,), bool)
+        base = greedy_generate(model, variables, ids, px, valid, 5)
+
+        mesh = Mesh(np.array(cpus[:8]), ("data",))
+        shard = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        ids_s = jax.device_put(ids, shard)
+        px_s = jax.device_put(px, shard)
+        valid_s = jax.device_put(valid, shard)
+        vars_s = jax.device_put(variables, repl)
+        sharded = greedy_generate(model, vars_s, ids_s, px_s, valid_s, 5)
+        np.testing.assert_array_equal(
+            np.asarray(base.tokens), np.asarray(sharded.tokens)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(base.lengths), np.asarray(sharded.lengths)
+        )
