@@ -4,8 +4,9 @@ Replaces the reference's torch checkpoint loading
 (src/circuit_analyzer.py:45, 226-234) with orbax-backed JAX checkpoints,
 plus one-shot conversion helpers from the reference's torch files:
 
-  python -m circuitvision_tpu.models.checkpoint convert-yolo  best.pt out/
-  python -m circuitvision_tpu.models.checkpoint convert-sam2  best.pth out/
+  python -m circuitvision_tpu.models.checkpoint convert-yolo      best.pt out/
+  python -m circuitvision_tpu.models.checkpoint convert-sam2      best.pth out/
+  python -m circuitvision_tpu.models.checkpoint convert-paligemma hf_dir_or_file out/
 """
 from __future__ import annotations
 
@@ -68,16 +69,60 @@ def convert_sam2_checkpoint(torch_path: str, out_path: str,
     save_variables(out_path, variables)
 
 
+def convert_paligemma_checkpoint(torch_path: str, out_path: str,
+                                 cfg=None) -> None:
+    """HF PaliGemma checkpoint (dir with safetensors/bin shards, or one
+    torch file) → orbax checkpoint of Flax variables (full 3B config).
+
+    Tiny-config conversion parity vs the official HF implementation is
+    pinned by tests/test_paligemma.py; this entry point is the same
+    convert_hf_state on the real weights."""
+    from .paligemma.config import PaliGemmaConfig
+    from .paligemma.convert import convert_hf_state
+
+    state: dict = {}
+    if os.path.isdir(torch_path):
+        names = sorted(os.listdir(torch_path))
+        shards = [n for n in names if n.endswith(".safetensors")]
+        if shards:
+            from safetensors import safe_open
+
+            for shard in shards:
+                with safe_open(
+                    os.path.join(torch_path, shard), framework="np"
+                ) as f:
+                    for k in f.keys():
+                        state[k] = f.get_tensor(k)
+        else:
+            import torch
+
+            for n in (m for m in names if m.endswith(".bin")):
+                state.update(
+                    torch.load(os.path.join(torch_path, n), map_location="cpu")
+                )
+    else:
+        import torch
+
+        obj = torch.load(torch_path, map_location="cpu", weights_only=False)
+        state = obj.get("state_dict", obj) if isinstance(obj, dict) else obj.state_dict()
+    if not state:
+        raise FileNotFoundError(f"no checkpoint tensors found at {torch_path}")
+    variables = convert_hf_state(state, cfg or PaliGemmaConfig())
+    save_variables(out_path, variables)
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
-    if len(argv) < 3 or argv[0] not in ("convert-yolo", "convert-sam2"):
+    commands = {
+        "convert-yolo": convert_yolo_checkpoint,
+        "convert-sam2": convert_sam2_checkpoint,
+        "convert-paligemma": convert_paligemma_checkpoint,
+    }
+    if len(argv) < 3 or argv[0] not in commands:
         print(__doc__)
         return 1
     cmd, src, dst = argv[0], argv[1], argv[2]
-    if cmd == "convert-yolo":
-        convert_yolo_checkpoint(src, dst)
-    else:
-        convert_sam2_checkpoint(src, dst)
+    commands[cmd](src, dst)
     print(f"converted {src} -> {dst}")
     return 0
 

@@ -455,3 +455,36 @@ class TestShardedGeneration:
         np.testing.assert_array_equal(
             np.asarray(base.lengths), np.asarray(sharded.lengths)
         )
+
+
+class TestConverterCLI:
+    def test_convert_paligemma_checkpoint_roundtrip(self, pair, tmp_path):
+        """The checkpoint entry point: torch file AND safetensors-dir
+        inputs → orbax checkpoint that restores to the in-memory
+        conversion exactly."""
+        from safetensors.numpy import save_file
+
+        from circuitvision_tpu.models.checkpoint import (
+            convert_paligemma_checkpoint,
+            load_variables,
+        )
+
+        hf, _, variables = pair
+
+        pt = tmp_path / "model.pt"
+        torch.save(hf.state_dict(), pt)
+        out1 = tmp_path / "orbax_pt"
+        convert_paligemma_checkpoint(str(pt), str(out1), cfg=TINY)
+
+        st_dir = tmp_path / "hf_dir"
+        st_dir.mkdir()
+        np_state = {k: v.numpy() for k, v in hf.state_dict().items()}
+        save_file(np_state, st_dir / "model.safetensors")
+        out2 = tmp_path / "orbax_st"
+        convert_paligemma_checkpoint(str(st_dir), str(out2), cfg=TINY)
+
+        want = jax.tree_util.tree_leaves(variables)
+        for out in (out1, out2):
+            got = jax.tree_util.tree_leaves(load_variables(str(out)))
+            assert len(got) == len(want)
+            assert all(np.array_equal(a, b) for a, b in zip(got, want))
