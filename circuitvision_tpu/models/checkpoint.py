@@ -96,9 +96,19 @@ def convert_paligemma_checkpoint(torch_path: str, out_path: str,
         else:
             import torch
 
-            for n in (m for m in names if m.endswith(".bin")):
+            # weight shards only — HF fine-tune dirs also hold
+            # training_args.bin etc., which are not state dicts
+            shards = [
+                n for n in names
+                if n.endswith(".bin")
+                and (n.startswith("pytorch_model") or n.startswith("model"))
+            ]
+            for n in shards:
                 state.update(
-                    torch.load(os.path.join(torch_path, n), map_location="cpu")
+                    torch.load(
+                        os.path.join(torch_path, n), map_location="cpu",
+                        weights_only=False,
+                    )
                 )
     else:
         import torch

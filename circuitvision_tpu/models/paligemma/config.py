@@ -41,7 +41,11 @@ class GemmaTextConfig:
     num_attention_heads: int = 8
     num_key_value_heads: int = 1
     head_dim: int = 256
-    vocab_size: int = 257152
+    # Published PaliGemma-3B checkpoints: 256000 Gemma pieces + 1024 <loc>
+    # + 128 <seg> = 257152 real tokens, <image> appended at 257152, rows
+    # padded to 257216. (The transformers CLASS default is 257152 — that
+    # is the pre-pad count, not the checkpoint embedding width.)
+    vocab_size: int = 257216
     rms_norm_eps: float = 1e-6
     rope_theta: float = 10000.0
     max_position_embeddings: int = 8192
@@ -54,7 +58,10 @@ class PaliGemmaConfig:
     # Vision features are projected to this width and substituted for the
     # image placeholder tokens (must equal text.hidden_size).
     projection_dim: int = 2048
-    image_token_id: int = 257152 - 1152  # 256000, the HF default
+    # <image> id in the published checkpoints' tokenizer (config.json
+    # image_token_index). 256000 is the transformers CLASS default and is
+    # <loc0000> in the real tokenizer — do not use it with real weights.
+    image_token_id: int = 257152
     bos_token_id: int = 2
     eos_token_id: int = 1
     pad_token_id: int = 0

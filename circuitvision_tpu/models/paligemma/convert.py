@@ -121,4 +121,51 @@ def convert_hf_state(
     leftovers = set(src) - used
     if leftovers:
         raise ValueError(f"unconsumed checkpoint tensors: {sorted(leftovers)[:8]}")
-    return {"params": params}
+    variables = {"params": params}
+    _validate_shapes(variables, cfg)
+    return variables
+
+
+def _validate_shapes(variables: dict, cfg: PaliGemmaConfig) -> None:
+    """Every produced leaf must match the model's declared parameter
+    shapes for this cfg (jax.eval_shape — no compute). Catches e.g. a
+    real 257216-row embedding converted under a cfg claiming a different
+    vocab, or a mismatched intermediate width: those would otherwise
+    save fine and only fail (or silently misbehave) at apply time."""
+    import jax
+    import jax.numpy as jnp
+
+    from .gemma import make_kv_cache
+    from .model import PaliGemma
+
+    model = PaliGemma(cfg)
+    s = cfg.num_image_tokens + 1
+    ids = jnp.zeros((1, s), jnp.int32)
+    k0, v0 = make_kv_cache(cfg.text, 1, s)
+    px = jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3))
+    expected = jax.eval_shape(
+        lambda: model.init(
+            jax.random.PRNGKey(0), ids, jnp.ones_like(ids), k0, v0, px,
+            method=PaliGemma.prefill,
+        )
+    )
+    want = jax.tree_util.tree_flatten_with_path(expected)[0]
+    got = {
+        jax.tree_util.keystr(k): v.shape
+        for k, v in jax.tree_util.tree_flatten_with_path(variables)[0]
+    }
+    errors = []
+    for key, leaf in want:
+        ks = jax.tree_util.keystr(key)
+        if ks not in got:
+            errors.append(f"missing parameter {ks} {leaf.shape}")
+        else:
+            shp = tuple(got.pop(ks))
+            if shp != tuple(leaf.shape):
+                errors.append(f"{ks}: checkpoint {shp} vs model {leaf.shape}")
+    errors += [f"extra leaf {ks} {shp}" for ks, shp in got.items()]
+    if errors:
+        raise ValueError(
+            "converted tree does not match the model's declared parameters: "
+            + "; ".join(errors[:6])
+        )

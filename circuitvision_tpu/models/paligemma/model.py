@@ -76,10 +76,15 @@ class PaliGemma(nn.Module):
         if pixel_values is not None:
             feats = self.image_features(pixel_values).astype(embeds.dtype)
             # The canonical PaliGemma layout puts the image tokens FIRST
-            # (processor: [image]*N + bos + prompt); substitution is a
-            # static concat instead of the reference's masked_scatter.
+            # (processor: [image]*N + bos + prompt), so substitution is a
+            # static slice — but gated on the placeholder id like the
+            # reference's masked_scatter, so a caller that violates the
+            # layout keeps its real token embeddings instead of having
+            # them silently overwritten.
             n = feats.shape[1]
-            embeds = jnp.concatenate([feats, embeds[:, n:]], axis=1)
+            is_placeholder = (input_ids[:, :n] == c.image_token_id)[..., None]
+            head = jnp.where(is_placeholder, feats, embeds[:, :n])
+            embeds = jnp.concatenate([head, embeds[:, n:]], axis=1)
         b, s = input_ids.shape
         t = k_caches.shape[2]
         neg = jnp.finfo(jnp.float32).min
@@ -128,7 +133,10 @@ class PaliGemma(nn.Module):
 @flax_struct.dataclass
 class GenerateResult:
     tokens: jax.Array  # (B, max_new) int32, PAD after EOS
-    lengths: jax.Array  # (B,) int32 — emitted tokens incl. the EOS
+    # emitted tokens incl. the EOS — tracked per step, NOT inferred from
+    # pad scanning (a model legitimately emitting pad_token_id mid-stream
+    # must not truncate the row)
+    lengths: jax.Array  # (B,) int32
 
 
 @functools.partial(jax.jit, static_argnums=(0, 5))
@@ -159,24 +167,25 @@ def greedy_generate(
 
     tokens0 = jnp.full((b, max_new_tokens), cfg.pad_token_id, jnp.int32)
     done0 = ~rows_valid
+    count0 = jnp.zeros((b,), jnp.int32)
 
     def cond(state):
-        i, _tok, _kc, _vc, done, _out = state
+        i, _tok, _kc, _vc, done, _count, _out = state
         return (i < max_new_tokens) & ~jnp.all(done)
 
     def body(state):
-        i, tok, kc, vc, done, out = state
+        i, tok, kc, vc, done, count, out = state
         emit = jnp.where(done, cfg.pad_token_id, tok)
         out = jax.lax.dynamic_update_slice(out, emit[:, None], (0, i))
+        count = count + (~done).astype(jnp.int32)
         done = done | (tok == cfg.eos_token_id)
         logits, kc, vc = model.apply(
             variables, tok, s + i, attn_mask, kc, vc,
             method=PaliGemma.decode_step,
         )
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return i + 1, nxt, kc, vc, done, out
+        return i + 1, nxt, kc, vc, done, count, out
 
-    state = (jnp.int32(0), first, kc, vc, done0, tokens0)
-    _i, _tok, _kc, _vc, done, out = jax.lax.while_loop(cond, body, state)
-    lengths = jnp.sum(out != cfg.pad_token_id, axis=1).astype(jnp.int32)
-    return GenerateResult(tokens=out, lengths=lengths)
+    state = (jnp.int32(0), first, kc, vc, done0, count0, tokens0)
+    _i, _tok, _kc, _vc, done, count, out = jax.lax.while_loop(cond, body, state)
+    return GenerateResult(tokens=out, lengths=count)

@@ -75,17 +75,17 @@ def preprocess_images(
 ) -> jax.Array:
     """RGB uint8 arrays (any sizes) → (B, S, S, 3) f32 in [-1, 1].
 
-    Bilinear resize WITHOUT antialiasing, matching SiglipImageProcessor's
-    default PIL BILINEAR-on-downscale behavior closely enough for a
-    robustness-insensitive OCR head; exact HF-processor parity is pinned
-    only for same-size inputs (tests)."""
+    Antialiased bilinear resize (ops.image.resize_bilinear with
+    antialias=True — the PIL-convention arm, which is what HF's
+    SiglipImageProcessor uses via PIL.Image.BILINEAR); exact HF-processor
+    pixel parity is pinned only for same-size inputs (tests)."""
+    from ...ops.image import resize_bilinear
+
     out = []
     for img in images:
         x = jnp.asarray(img, jnp.float32)
         if x.shape[:2] != (image_size, image_size):
-            x = jax.image.resize(
-                x, (image_size, image_size, 3), method="bilinear"
-            )
+            x = resize_bilinear(x, (image_size, image_size), antialias=True)
         out.append(siglip_rescale(x))
     return jnp.stack(out)
 
@@ -155,9 +155,12 @@ class PaliGemmaValueReader:
     def get_direction(
         self, crop_rgb: np.ndarray, component_class: str
     ) -> tuple[str, str]:
+        import re
+
         text = self.generate([crop_rgb], DIRECTION_TASK)[0].upper()
-        direction = next(
-            (d for d in ("UP", "DOWN", "LEFT", "RIGHT") if d in text), "UNKNOWN"
-        )
-        reason = next((r for r in ("SIGN", "ARROW") if r in text), "UNKNOWN")
-        return direction, reason
+        # first whole-word occurrence IN TEXT ORDER ("supply points DOWN"
+        # must not match the UP inside SUPPLY)
+        dm = re.search(r"\b(UP|DOWN|LEFT|RIGHT)\b", text)
+        rm = re.search(r"\b(SIGN|ARROW)\b", text)
+        return (dm.group(1) if dm else "UNKNOWN",
+                rm.group(1) if rm else "UNKNOWN")
