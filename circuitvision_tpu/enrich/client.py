@@ -58,6 +58,28 @@ def parse_vlm_list(text: str) -> list[dict]:
             )
 
 
+def parse_gemini_labels(text: str) -> list[dict]:
+    """The DIRECT-Gemini path's parse (gemini_labels, src/utils.py:160-180):
+    json-FIRST with a null→None ast fallback, and a REAL newline in the
+    json strip set — the openrouter path above parses ast-first and its
+    second strip carries a literal backslash (line 251 vs 162). Pinned
+    against the reference's own function in
+    tests/test_reference_diff.py::TestGeminiLabelsMatchesReference."""
+    formatted = text.strip("```python\n")
+    formatted = formatted.strip("```json\n")
+    formatted = formatted.strip("```")
+    try:
+        return json.loads(formatted)
+    except json.JSONDecodeError:
+        try:
+            return ast.literal_eval(formatted.replace("null", "None"))
+        except Exception as e2:
+            raise ValueError(
+                f"Failed to parse Gemini response: {e2}. "
+                f"Original response: {formatted}"
+            )
+
+
 class FakeVLMClient:
     """Deterministic offline client for tests and air-gapped runs.
 
@@ -116,7 +138,7 @@ class GeminiVLMClient:
             contents=[img, "\n", LABELS_PROMPT],
             config={"temperature": 0},
         )
-        return parse_vlm_list(response.text)
+        return parse_gemini_labels(response.text)
 
     def get_direction(self, crop_rgb: np.ndarray, component_class: str):
         from ..core import taxonomy

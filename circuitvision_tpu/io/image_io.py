@@ -35,8 +35,24 @@ def load_image(path: str) -> np.ndarray:
         return decode_image(f.read())
 
 
+def format_exif_value(value):
+    """Display form of one EXIF value (reference format_value,
+    src/utils.py:558-565): bytes → size note, strings cleaned of
+    non-printables ("[Empty string]" when nothing survives)."""
+    if isinstance(value, bytes):
+        return f"[Binary data, {len(value)} bytes]"
+    if isinstance(value, str):
+        cleaned = "".join(c for c in value if c.isprintable())
+        return cleaned if cleaned else "[Empty string]"
+    return value
+
+
 def format_exif_data(path: str) -> Optional[dict]:
-    """Orientation/Software tags for display (src/utils.py:567-596)."""
+    """Orientation/Software tags for display (src/utils.py:567-596).
+
+    Mirrors the reference exactly, including its use of the legacy
+    `_getexif()` API: formats without it (e.g. PNG, even with an eXIf
+    chunk) yield None, and failures at any step yield None."""
     from PIL import Image
     from PIL.ExifTags import TAGS
 
@@ -44,13 +60,15 @@ def format_exif_data(path: str) -> Optional[dict]:
         img = Image.open(path)
         important = {"Software", "Orientation"}
         out = {}
-        exif = img.getexif()
-        for tag_id, value in (exif or {}).items():
-            tag = TAGS.get(tag_id, tag_id)
-            if tag in important:
-                if isinstance(value, bytes):
-                    value = f"[Binary data, {len(value)} bytes]"
-                out[tag] = value
+        try:
+            exif = img._getexif()
+            if exif:
+                for tag_id, value in exif.items():
+                    tag = TAGS.get(tag_id, tag_id)
+                    if tag in important:
+                        out[tag] = format_exif_value(value)
+        except Exception:
+            pass
         return out or None
     except Exception:
         return None

@@ -26,7 +26,7 @@ import copy
 import numpy as np
 import pytest
 
-from tests.ref_loader import bbox_to_ref_dict, load_reference_analyzer
+from tests.ref_loader import REF_ROOT, bbox_to_ref_dict, load_reference_analyzer
 
 N_RANDOM = 50
 
@@ -991,3 +991,155 @@ class TestUploadIngestMatchesReference:
                 f"{name}: ref {want.shape} vs repo {got.shape}"
             )
             np.testing.assert_array_equal(want, got, err_msg=name)
+
+
+# ---------------------------------------------------------------------------
+# format_exif_data (src/utils.py:558-596) and the direct-Gemini labels path
+# (gemini_labels, src/utils.py:125-182)
+# ---------------------------------------------------------------------------
+
+
+class TestFormatExifDataMatchesReference:
+    def test_display_dicts_equal(self, ref, tmp_path):
+        """Orientation/Software display dicts — including the reference's
+        printable-cleaning, [Empty string] fallback, bytes note, and its
+        legacy-_getexif None-for-PNG behavior — must be equal."""
+        import sys
+
+        from PIL import Image
+
+        from circuitvision_tpu.io.image_io import format_exif_data
+
+        sys.path.insert(0, REF_ROOT) if REF_ROOT not in sys.path else None
+        from src.utils import format_exif_data as ref_format
+
+        rng = np.random.default_rng(3)
+        arr = rng.integers(0, 255, (32, 32, 3), np.uint8)
+
+        def jpeg(path, software=None, orientation=None):
+            img = Image.fromarray(arr)
+            exif = img.getexif()
+            if software is not None:
+                exif[0x0131] = software
+            if orientation is not None:
+                exif[0x0112] = orientation
+            img.save(path, format="JPEG", exif=exif.tobytes())
+            return str(path)
+
+        cases = {
+            "plain": jpeg(tmp_path / "a.jpg"),
+            "orient": jpeg(tmp_path / "b.jpg", orientation=6),
+            "software": jpeg(tmp_path / "c.jpg", software="CircuitCam 1.0"),
+            "nonprintable": jpeg(
+                tmp_path / "d.jpg", software="Cam\x00\x07 2", orientation=3
+            ),
+            "unprintable_only": jpeg(tmp_path / "e.jpg", software="\x00\x01"),
+            "missing": str(tmp_path / "nope.jpg"),
+        }
+        png = tmp_path / "f.png"
+        Image.fromarray(arr).save(png, format="PNG")
+        cases["png"] = str(png)
+        for name, path in cases.items():
+            assert format_exif_data(path) == ref_format(path), name
+
+
+
+class TestGeminiLabelsMatchesReference:
+    """Drives the REAL reference gemini_labels with a recording genai stub
+    and diffs both the request composition (model, contents, config) and
+    the parse behavior against GeminiVLMClient.get_labels."""
+
+    class _Recorder:
+        def __init__(self):
+            self.calls = []
+            self.response_text = ""
+            rec = self
+
+            class _Models:
+                def generate_content(self, *, model, contents, config):
+                    rec.calls.append(
+                        {"model": model, "contents": contents, "config": config}
+                    )
+                    import types as _t
+
+                    return _t.SimpleNamespace(text=rec.response_text)
+
+            self.models = _Models()
+
+    RESPONSES = [
+        # python-literal list (json fails → ast fallback in the reference)
+        "```python\n[{'id': '1', 'class': 'resistor', 'value': '10k'}]\n```",
+        # fenced JSON with null (json-first path)
+        '```json\n[{"id": "1", "class": "diode", "value": null}]\n```',
+        # bare JSON
+        '[{"id": "2", "class": "capacitor", "value": "10u"}]',
+        # garbage (both must raise)
+        "I cannot help with that.",
+    ]
+
+    def _run_reference(self, ref, image, text):
+        import os
+        import sys
+
+        if REF_ROOT not in sys.path:
+            sys.path.insert(0, REF_ROOT)
+        import src.utils as ref_utils
+
+        rec = self._Recorder()
+        old_client = ref_utils.genai.Client
+        old_cfg = getattr(ref_utils.types, "GenerateContentConfig", None)
+        ref_utils.genai.Client = lambda api_key=None: rec
+        ref_utils.types.GenerateContentConfig = lambda **kw: kw
+        os.environ["GEMINI_API_KEY"] = "test-key"
+        rec.response_text = text
+        try:
+            out = ref_utils.gemini_labels(image)
+            err = None
+        except Exception as e:
+            out, err = None, type(e).__name__
+        finally:
+            ref_utils.genai.Client = old_client
+            if old_cfg is not None:
+                ref_utils.types.GenerateContentConfig = old_cfg
+            os.environ.pop("GEMINI_API_KEY", None)
+        return rec.calls[-1], out, err
+
+    def _run_repo(self, image, text):
+        import os
+
+        from circuitvision_tpu.enrich.client import GeminiVLMClient
+
+        os.environ["GEMINI_API_KEY"] = "test-key"
+        try:
+            client = GeminiVLMClient()
+        finally:
+            os.environ.pop("GEMINI_API_KEY", None)
+        rec = self._Recorder()
+        rec.response_text = text
+        client.client = rec
+        try:
+            out = client.get_labels(image)
+            err = None
+        except Exception as e:
+            out, err = None, type(e).__name__
+        return rec.calls[-1], out, err
+
+    def test_requests_and_parses_equal(self, ref):
+        rng = np.random.default_rng(11)
+        image = rng.integers(0, 255, (24, 40, 3), np.uint8)
+        for text in self.RESPONSES:
+            want_call, want_out, want_err = self._run_reference(ref, image, text)
+            got_call, got_out, got_err = self._run_repo(image, text)
+            assert got_call["model"] == want_call["model"]
+            assert got_call["config"] == want_call["config"]
+            assert len(got_call["contents"]) == len(want_call["contents"]) == 3
+            np.testing.assert_array_equal(
+                np.asarray(got_call["contents"][0]),
+                np.asarray(want_call["contents"][0]),
+            )
+            assert got_call["contents"][1] == want_call["contents"][1]
+            assert got_call["contents"][2] == want_call["contents"][2]
+            assert (got_out, got_err is None) == (want_out, want_err is None), (
+                f"parse diverges for {text!r}: repo ({got_out!r}, {got_err}) "
+                f"vs reference ({want_out!r}, {want_err})"
+            )
