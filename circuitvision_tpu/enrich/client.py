@@ -10,12 +10,15 @@ from __future__ import annotations
 
 import ast
 import json
+import logging
 import os
 from typing import Optional, Protocol, Sequence
 
 import numpy as np
 
 from .prompts import DIODE_DIRECTION_PROMPT, LABELS_PROMPT, VOLTAGE_DIRECTION_PROMPT
+
+logger = logging.getLogger(__name__)
 
 
 class VLMClient(Protocol):
@@ -227,7 +230,24 @@ class OpenRouterVLMClient:
 def default_client() -> Optional[VLMClient]:
     """Pick a client from the environment; None when no keys configured
     (the pipeline then degrades exactly like the reference with no
-    GEMINI_API_KEY, src/circuit_analyzer.py:133-147)."""
+    GEMINI_API_KEY, src/circuit_analyzer.py:133-147).
+
+    CIRCUITVISION_VLM=paligemma:<orbax_ckpt_dir> selects the on-device
+    PaliGemma head (models/paligemma) instead of an HTTP client —
+    weights converted via
+    `python -m circuitvision_tpu.models.checkpoint convert-paligemma`."""
+    spec = os.getenv("CIRCUITVISION_VLM", "")
+    if spec.startswith("paligemma:"):
+        try:
+            from ..models.checkpoint import load_variables
+            from ..models.paligemma import PaliGemmaConfig, PaliGemmaValueReader
+
+            return PaliGemmaValueReader(
+                cfg=PaliGemmaConfig(),
+                variables=load_variables(spec.split(":", 1)[1]),
+            )
+        except Exception:
+            logger.exception("CIRCUITVISION_VLM=%s failed; falling back", spec)
     if os.getenv("GEMINI_API_KEY"):
         try:
             return GeminiVLMClient()

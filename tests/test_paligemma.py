@@ -562,3 +562,33 @@ class TestReviewRegressions:
         wrong = dc.replace(TINY, text=dc.replace(TINY.text, vocab_size=512))
         with pytest.raises(ValueError, match="declared parameters"):
             convert_hf_state(hf.state_dict(), wrong)
+
+
+class TestDefaultClientSelection:
+    def test_env_selects_on_device_reader(self, pair, tmp_path, monkeypatch):
+        """CIRCUITVISION_VLM=paligemma:<ckpt> routes default_client to the
+        on-device reader (full checkpoint save → env → factory)."""
+        from circuitvision_tpu.enrich.client import default_client
+        from circuitvision_tpu.models.checkpoint import save_variables
+        from circuitvision_tpu.models.paligemma.reader import PaliGemmaValueReader
+
+        _, _, variables = pair
+        ckpt = tmp_path / "pg"
+        save_variables(str(ckpt), variables)
+        monkeypatch.setenv("CIRCUITVISION_VLM", f"paligemma:{ckpt}")
+        # force the full-size config path to use TINY for the test
+        import circuitvision_tpu.enrich.client as client_mod
+        import circuitvision_tpu.models.paligemma as pg
+
+        monkeypatch.setattr(pg, "PaliGemmaConfig", lambda: TINY)
+        got = default_client()
+        assert isinstance(got, PaliGemmaValueReader)
+        assert got.cfg == TINY
+
+    def test_bad_spec_falls_back_to_none(self, monkeypatch):
+        from circuitvision_tpu.enrich.client import default_client
+
+        monkeypatch.setenv("CIRCUITVISION_VLM", "paligemma:/nonexistent")
+        monkeypatch.delenv("GEMINI_API_KEY", raising=False)
+        monkeypatch.delenv("OPENROUTER_API_KEY", raising=False)
+        assert default_client() is None
