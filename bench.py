@@ -214,6 +214,37 @@ def bench_end_to_end(det_cfg, sam_cfg, yolo_vars, sam_vars, per_dev_batch: int,
     return n / dt, phases
 
 
+def _require_backend_or_die(timeout_s: int) -> None:
+    """Fail FAST if the device backend cannot initialize.
+
+    jax.devices() against a wedged remote-TPU tunnel blocks in the
+    backend's claim/retry loop indefinitely (observed round 3 —
+    PERF.md infrastructure note); probing in a bounded subprocess turns
+    an indefinite hang into a clean rc=3 with a diagnosable message, so
+    the driver records an infra failure instead of a timeout kill."""
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"bench: device backend failed to initialize within {timeout_s}s "
+            "(remote-TPU tunnel unreachable?) — refusing to hang; see "
+            "PERF.md infrastructure note",
+            file=sys.stderr,
+        )
+        raise SystemExit(3)
+    except subprocess.CalledProcessError as e:
+        print(f"bench: device backend probe failed (rc={e.returncode})",
+              file=sys.stderr)
+        raise SystemExit(3)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=8, help="per-device batch")
@@ -229,6 +260,8 @@ def main():
         "suppressed by confidence-NMS)",
     )
     args = parser.parse_args()
+
+    _require_backend_or_die(timeout_s=600)
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
