@@ -104,6 +104,46 @@ class SAM2Config:
         return tuple(self.embed_dim * (2**i) for i in range(len(self.stages)))
 
 
+# Hiera family presets, from the published facebookresearch/sam2
+# sam2.1_hiera_{t,s,b+,l}.yaml configs (the reference ships only the L
+# yaml, models/configs/sam2.1_hiera_l.yaml — it is the default above).
+# The whole trunk is parametric, so the other family members are pure
+# config: non-divisible window specs (14 over a 64-wide stage-3 map)
+# route through window_partition's padding path, and the fused-kernel
+# gates fall back to the module path where their preconditions fail.
+_SAM2_HIERA_PRESETS: dict[str, dict] = {
+    "t": dict(
+        embed_dim=96, num_heads=1, stages=(1, 2, 7, 2),
+        global_att_blocks=(5, 7, 9), window_spec=(8, 4, 14, 7),
+        window_pos_embed_bkg_spatial_size=(7, 7),
+        backbone_channel_list=(768, 384, 192, 96),
+    ),
+    "s": dict(
+        embed_dim=96, num_heads=1, stages=(1, 2, 11, 2),
+        global_att_blocks=(7, 10, 13), window_spec=(8, 4, 14, 7),
+        window_pos_embed_bkg_spatial_size=(7, 7),
+        backbone_channel_list=(768, 384, 192, 96),
+    ),
+    "b+": dict(
+        embed_dim=112, num_heads=2, stages=(2, 3, 16, 3),
+        global_att_blocks=(12, 16, 20), window_spec=(8, 4, 14, 7),
+        window_pos_embed_bkg_spatial_size=(14, 14),
+        backbone_channel_list=(896, 448, 224, 112),
+    ),
+    "l": dict(),  # the dataclass defaults ARE the L config
+}
+
+
+def sam2_hiera_preset(size: str, **overrides) -> "SAM2Config":
+    """SAM2Config for a Hiera family member: 't', 's', 'b+', or 'l'."""
+    if size not in _SAM2_HIERA_PRESETS:
+        raise ValueError(
+            f"unknown Hiera size {size!r}; choose from "
+            f"{sorted(_SAM2_HIERA_PRESETS)}"
+        )
+    return SAM2Config(**{**_SAM2_HIERA_PRESETS[size], **overrides})
+
+
 @dataclasses.dataclass(frozen=True)
 class CropConfig:
     """YOLO-cluster intelligent crop (src/circuit_analyzer.py:937-1284)."""

@@ -656,7 +656,15 @@ class Hiera(nn.Module):
                 dim_out = _rup(true_dim_out, pm)
                 heads = heads * 2
                 cur_stage += 1
-                window = self.window_spec[cur_stage]
+                # The FIRST block of a stage keeps the PREVIOUS stage's
+                # window size (hieradet reads window_spec[cur_stage]
+                # before the stage bump; transformers Sam2MultiScaleBlock
+                # spells it out: "take window size from previous stage if
+                # first block of stage"). `window` was read before the
+                # increment above, so it already holds the old stage's
+                # spec — round 3 fixed a bug here that used the NEW
+                # stage's window at transitions; pinned against the HF
+                # reference in tests/test_sam2_hf_parity.py.
             if i in self.global_att_blocks:
                 window = 0
 

@@ -264,9 +264,9 @@ class TestQPoolAttnBlock:
     q_stride module math (LN → skip proj+pool2x → windowed attention with
     2×2-pooled q → proj → residual)."""
 
-    def _make(self, seed=0):
+    def _make(self, seed=0, WIN=4, S=8):
         rng = np.random.default_rng(seed)
-        B, S, WIN, CI, CO, H = 2, 8, 4, 32, 64, 2
+        B, CI, CO, H = 2, 32, 64, 2
         arr = lambda shp, s: jnp.asarray(rng.standard_normal(shp) * s, jnp.float32)
         return (
             B, S, WIN, CI, CO, H,
@@ -302,13 +302,16 @@ class TestQPoolAttnBlock:
         o = window_unpartition(o, WIN // 2, (S // 2, S // 2), (S // 2, S // 2))
         return shortcut + (o @ wpr + bpr)
 
-    def test_matches_module_math(self):
+    @pytest.mark.parametrize("win,s", [(4, 8), (8, 16), (16, 16)])
+    def test_matches_module_math(self, win, s):
+        """All three window extents the L config's transition blocks run
+        after the round-3 stage-window fix (prev-stage windows 8/4/16)."""
         from circuitvision_tpu.models.sam2.hiera import (
             window_partition, window_unpartition,
         )
         from circuitvision_tpu.ops.pallas.window_attn import qpool_attn_block
 
-        vals = self._make()
+        vals = self._make(WIN=win, S=s)
         B, S, WIN, CI, CO, H, x, lns, lnb, wsk, bsk, wqkv, bqkv, wpr, bpr = vals
         ref = self._reference(*vals)
 

@@ -237,12 +237,15 @@ class TestLayoutPersistentWindows:
         from circuitvision_tpu.models.initialization import fast_init
         from circuitvision_tpu.models.sam2.hiera import Hiera
 
-        # q-pool blocks need even windows (window//2 geometry, as in the
-        # reference hieradet); stage-3's window 6 on a 5×5 map exercises
-        # the indivisible per-block padding path.
+        # Transition blocks use the PREVIOUS stage's window (hieradet
+        # semantics), so windows of stages followed by a q-pool must be
+        # even (window//2 geometry). Here the stage-3 transition runs
+        # window 4 on a 10×10 map (pad→12) and the stage-4 transition
+        # window 6 on a 5×5 map (pad→6) — both indivisible per-block
+        # padding paths.
         model = Hiera(
             embed_dim=16, num_heads=1, stages=(1, 1, 1, 1),
-            global_att_blocks=(), window_spec=(5, 4, 6, 4),
+            global_att_blocks=(), window_spec=(4, 4, 6, 3),
         )
         x = jnp.zeros((1, 80, 80, 3))  # 20×20 after patch
         variables = fast_init(model, jax.random.PRNGKey(0), x)
@@ -328,3 +331,63 @@ class TestChannelPadding:
         )
         assert high.shape == (1, cfg.resolution, cfg.resolution, 1)
         assert np.isfinite(np.asarray(high)).all()
+
+
+class TestHieraFamilyPresets:
+    """The non-L Hiera family members (published sam2.1_hiera_{t,s,b+}
+    configs) are pure configuration: structure checks via eval_shape at
+    full 1024² (no compute) and a REAL forward for the tiny preset at a
+    reduced resolution that still exercises the non-divisible window-14
+    padding path."""
+
+    def test_structures_at_full_resolution(self):
+        import jax
+
+        from circuitvision_tpu.core.config import sam2_hiera_preset
+        from circuitvision_tpu.models.sam2.wrapper import SAM2ImageSegmenter
+
+        for size, n_blocks, dims in (
+            ("t", 12, (96, 192, 384, 768)),
+            ("s", 16, (96, 192, 384, 768)),
+            ("b+", 24, (112, 224, 448, 896)),
+            ("l", 48, (144, 288, 576, 1152)),
+        ):
+            cfg = sam2_hiera_preset(size)
+            assert sum(cfg.stages) == n_blocks
+            assert cfg.stage_dims == dims
+            assert cfg.backbone_channel_list == tuple(reversed(dims))
+            model = SAM2ImageSegmenter(cfg=cfg)
+            x = jnp.zeros((1, cfg.resolution, cfg.resolution, 3), jnp.float32)
+            shapes = jax.eval_shape(
+                lambda m=model, xx=x: m.init(jax.random.PRNGKey(0), xx)
+            )
+            trunk = shapes["params"]["trunk"]
+            blocks = [k for k in trunk if k.startswith("blocks_")]
+            assert len(blocks) == n_blocks, size
+            # patch embed emits the stage-0 width
+            assert trunk["patch_embed_proj"]["kernel"].shape[-1] == dims[0]
+
+    def test_tiny_preset_forward_runs(self):
+        import jax
+
+        from circuitvision_tpu.core.config import sam2_hiera_preset
+        from circuitvision_tpu.models.initialization import fast_init
+        from circuitvision_tpu.models.sam2.wrapper import SAM2ImageSegmenter
+
+        # 256² → stage-3 map is 16×16, NOT divisible by window 14: the
+        # padding fallback path must produce finite masks end-to-end.
+        cfg = sam2_hiera_preset("t", resolution=256, dtype="float32")
+        model = SAM2ImageSegmenter(cfg=cfg, dtype=jnp.float32)
+        x = jnp.zeros((1, 256, 256, 3), jnp.float32)
+        variables = fast_init(model, jax.random.PRNGKey(0), x)
+        high, low, iou = jax.jit(model.apply)(variables, x)
+        assert high.shape == (1, 256, 256, 1)
+        assert bool(jnp.isfinite(high).all())
+
+    def test_unknown_size_rejected(self):
+        import pytest as _pytest
+
+        from circuitvision_tpu.core.config import sam2_hiera_preset
+
+        with _pytest.raises(ValueError, match="unknown Hiera size"):
+            sam2_hiera_preset("xl")

@@ -194,9 +194,10 @@ class Hiera(nn.Module):
                 dim_out = dim * 2
                 cur_stage += 1
                 num_heads = num_heads * 2
-                window_size = self.window_spec[cur_stage - 1]
-                if global_att_blocks is not None and i in global_att_blocks:
-                    window_size = 0
+                # window_size stays the PREVIOUS stage's spec: hieradet
+                # reads window_spec before the stage bump (transformers
+                # Sam2MultiScaleBlock: "take window size from previous
+                # stage if first block of stage").
             self.blocks.append(
                 MultiScaleBlock(
                     dim=dim,
