@@ -34,11 +34,11 @@ jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def small_cfg():
+def small_cfg(resolution=256):
     from circuitvision_tpu.core.config import SAM2Config
 
     return SAM2Config(
-        resolution=256,
+        resolution=resolution,
         embed_dim=48,
         num_heads=2,
         stages=(1, 2, 4, 1),
@@ -86,6 +86,13 @@ def main():
                     default="reference")
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--log-every", type=int, default=25)
+    ap.add_argument("--ckpt-dir", default=None,
+                    help="save/resume dir; resumes from the newest "
+                         "committed step automatically")
+    ap.add_argument("--save-every", type=int, default=50)
+    ap.add_argument("--keep", type=int, default=3)
+    ap.add_argument("--res", type=int, default=256,
+                    help="input resolution (64 for a quick CPU smoke)")
     args = ap.parse_args()
 
     from circuitvision_tpu.core.config import TrainConfig
@@ -99,7 +106,7 @@ def main():
         trainable_mask,
     )
 
-    cfg = small_cfg()
+    cfg = small_cfg(args.res)
     tcfg = TrainConfig(learning_rate=args.lr)
     model = SAM2ImageSegmenter(cfg=cfg)
     variables = init_params(model, jax.random.PRNGKey(0))
@@ -120,6 +127,23 @@ def main():
     opt_state = tx.init(variables)
     step = jax.jit(make_train_step(model, tx, tcfg))
 
+    start_step = 0
+    if args.ckpt_dir:
+        from circuitvision_tpu.train.checkpoint import (
+            latest_checkpoint,
+            prune_checkpoints,
+            restore_train_state,
+            save_train_state,
+        )
+
+        found = latest_checkpoint(args.ckpt_dir)
+        if found:
+            start_step = found[0]
+            variables, opt_state = restore_train_state(
+                found[1], variables, opt_state
+            )
+            print(f"resumed from {found[1]} (step {start_step})")
+
     fwd = jax.jit(lambda v, x: model.apply(v, x)[0])
 
     # Held-out eval circuits.
@@ -138,7 +162,7 @@ def main():
 
     t0 = time.time()
     loss_first = loss = None
-    for i in range(args.steps):
+    for i in range(start_step, args.steps):
         images, masks_b = make_batch(1000 + i * args.batch, args.batch,
                                      cfg.resolution)
         variables, opt_state, metrics = step(
@@ -150,8 +174,16 @@ def main():
                 loss_first = loss
             print(f"step {i:4d}  loss {loss:.4f}  "
                   f"({(time.time() - t0):.1f}s)")
+        if args.ckpt_dir and (
+            (i + 1) % args.save_every == 0 or i == args.steps - 1
+        ):
+            save_train_state(args.ckpt_dir, i + 1, variables, opt_state)
+            prune_checkpoints(args.ckpt_dir, keep=args.keep)
     iou1 = eval_iou(variables)
     dt = time.time() - t0
+    if loss is None:  # resumed at/after --steps; nothing trained this run
+        print(f"held-out wire IoU at restore: {iou1:.4f}")
+        return
     print(f"held-out wire IoU after {args.steps} steps: {iou1:.4f} "
           f"(was {iou0:.4f}); loss {loss_first:.4f} -> {loss:.4f}; "
           f"{dt:.1f}s total, {dt / args.steps * 1e3:.0f} ms/step")
