@@ -157,8 +157,15 @@ def bench_end_to_end(det_cfg, sam_cfg, yolo_vars, sam_vars, per_dev_batch: int,
                 out.append(gt)
             return out
 
-        def _segment_phase(self, staged):
-            staged = super()._segment_phase(staged)  # incl. real mask fetch
+        def _prepare_packed_rasters(self, staged):
+            # Inject the GT masks BEFORE the (single) stage-A raster
+            # prep, so topology sees representative circuit rasters while
+            # stage-A runs exactly once per image — the production cost
+            # structure. (An earlier version re-ran stage-A on GT masks
+            # after the real prep, double-counting ~9 ms/img of device
+            # time that production never pays.) The real SAM2 forward,
+            # finalize programs, and async packed-mask copies above are
+            # all still dispatched and paid.
             for st in staged:
                 gt = gt_by_shape[st.image.shape]
                 mask = gt.wire_mask
@@ -167,15 +174,14 @@ def bench_end_to_end(det_cfg, sam_cfg, yolo_vars, sam_vars, per_dev_batch: int,
                     x0, y0, x1, y1 = info.window
                     mask = mask[y0:y1, x0:x1]
                 st.mask = mask
-                # Topology must see the GT mask. Production hands the
-                # topology stage a device-resident mask (the finalize
-                # program's second output); mirror that residency so
-                # stage-A costs stay representative (upload overlapped
-                # here in the segment thread, as the real fetch is).
+                # Production hands stage-A a device-resident mask (the
+                # finalize program's second output); mirror that
+                # residency (upload overlapped here in the segment
+                # thread, as the real fetch is).
                 st.mask_dev = jax.device_put(mask)
-            # Re-run the stage-A raster prep on the GT masks (the real
-            # prep already ran — and is still paid — inside super()).
-            self._prepare_packed_rasters(staged)
+            super()._prepare_packed_rasters(staged)
+            for st in staged:
+                st.mask_dev = None  # consumer works from the GT host mask
             return staged
 
     pipeline = OraclePipeline(analyzer)

@@ -89,7 +89,6 @@ def _load_lib():
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
-                ctypes.POINTER(ctypes.c_int32),
             ]
             _lib = lib
         except Exception:
@@ -137,7 +136,6 @@ def trace_contours(fg: np.ndarray, force_python: bool = False) -> list[Contour]:
         verts = np.empty(vert_cap, np.int32)
         offsets = np.empty(_MAX_CONTOURS + 1, np.int32)
         stats = np.empty(_MAX_CONTOURS * 9, np.float64)
-        scratch = np.empty(h * w, np.int32)
         n = lib.cv_trace_contours(
             fg_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             h, w,
@@ -146,7 +144,6 @@ def trace_contours(fg: np.ndarray, force_python: bool = False) -> list[Contour]:
             offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             stats.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             _MAX_CONTOURS,
-            scratch.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         )
         if n >= 0:
             out = []

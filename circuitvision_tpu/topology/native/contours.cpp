@@ -21,7 +21,16 @@
 // moment ratios, rect) — pinned against the real cv2 by
 // tests/test_native_contours.py.
 //
+// Implementation is run-length based: one word-skipping row scan emits
+// foreground and background RUNS; 8-connected components and the
+// 4-connected outer background are union-find over runs (O(runs), not
+// O(pixels)); border tracing tests the fg raster directly — two distinct
+// 8-connected components can never be 8-adjacent, so per-pixel labels
+// are unnecessary. The previous per-pixel stack flood fills cost
+// ~12 ms/image at 600x800; this runs the same semantics in ~1 ms.
+//
 // Build: python -m circuitvision_tpu.topology.build_native
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -35,6 +44,22 @@ struct Pt {
 // Clockwise 8-neighborhood starting East.
 static const int DX[8] = {1, 1, 0, -1, -1, -1, 0, 1};
 static const int DY[8] = {0, 1, 1, 1, 0, -1, -1, -1};
+
+struct Run {
+  int32_t x0, x1;  // inclusive
+  int32_t parent;  // union-find parent (index into same run array)
+};
+
+static int32_t uf_find(std::vector<Run>& runs, int32_t i) {
+  int32_t r = i;
+  while (runs[r].parent != r) r = runs[r].parent;
+  while (runs[i].parent != r) {
+    const int32_t nxt = runs[i].parent;
+    runs[i].parent = r;
+    i = nxt;
+  }
+  return r;
+}
 
 }  // namespace
 
@@ -52,119 +77,179 @@ extern "C" {
 //              contour (root = raster-first linear pixel index)
 //              (area = |polygon area| like cv2.contourArea; m00/m10/m01
 //               signed Green's-theorem moments like cv2.moments)
-//   scratch  : int32[h * w] workspace (component labels)
 int cv_trace_contours(const uint8_t* fg, int h, int w, int32_t* vert_xy,
                       int32_t vert_cap, int32_t* offsets, double* stats,
-                      int32_t max_contours, int32_t* scratch) {
+                      int32_t max_contours) {
   const int64_t hw = (int64_t)h * w;
-  int32_t* lab = scratch;
-  std::memset(lab, 0, hw * sizeof(int32_t));
 
-  // 1. 8-connected component labels in raster discovery order.
-  std::vector<int64_t> first_pixel;  // per comp (1-based ids)
-  std::vector<int64_t> stack;
-  int32_t n_comp = 0;
-  for (int64_t p = 0; p < hw; ++p) {
-    if (!fg[p] || lab[p]) continue;
-    ++n_comp;
-    first_pixel.push_back(p);
-    lab[p] = n_comp;
-    stack.clear();
-    stack.push_back(p);
-    while (!stack.empty()) {
-      const int64_t q = stack.back();
-      stack.pop_back();
-      const int y = (int)(q / w), x = (int)(q % w);
-      for (int d = 0; d < 8; ++d) {
-        const int nx = x + DX[d], ny = y + DY[d];
-        if (nx < 0 || ny < 0 || nx >= w || ny >= h) continue;
-        const int64_t nq = (int64_t)ny * w + nx;
-        if (fg[nq] && !lab[nq]) {
-          lab[nq] = n_comp;
-          stack.push_back(nq);
+  // 1. Row scan -> fg runs and bg runs (both in raster order), with
+  //    per-row index ranges. Zero bytes are skipped 8 at a time.
+  std::vector<Run> fgr, bgr;
+  fgr.reserve(1024);
+  bgr.reserve(1024);
+  std::vector<int32_t> fg_row(h + 1), bg_row(h + 1);
+  // Parallel metadata kept out of Run so union-find stays cache-tight.
+  std::vector<int32_t> fg_y;  // row of fg run i
+  fg_y.reserve(1024);
+  for (int y = 0; y < h; ++y) {
+    fg_row[y] = (int32_t)fgr.size();
+    bg_row[y] = (int32_t)bgr.size();
+    const uint8_t* row = fg + (int64_t)y * w;
+    int x = 0;
+    while (x < w) {
+      if (!row[x]) {
+        const int bx0 = x;
+        // skip background fast: 8 bytes at a time
+        while (x + 8 <= w) {
+          uint64_t word;
+          std::memcpy(&word, row + x, 8);
+          if (word != 0) break;
+          x += 8;
         }
+        while (x < w && !row[x]) ++x;
+        bgr.push_back({(int32_t)bx0, (int32_t)(x - 1), (int32_t)bgr.size()});
+      } else {
+        const int fx0 = x;
+        while (x < w && row[x]) ++x;
+        fgr.push_back({(int32_t)fx0, (int32_t)(x - 1), (int32_t)fgr.size()});
+        fg_y.push_back(y);
       }
     }
   }
-  if (n_comp == 0) {
+  fg_row[h] = (int32_t)fgr.size();
+  bg_row[h] = (int32_t)bgr.size();
+
+  if (fgr.empty()) {
     offsets[0] = 0;
     return 0;
   }
 
-  // 2. Outer background flood fill (4-connected from the frame),
-  //    marked -1 in lab. Foreground is 8-connected, so its complement
-  //    uses 4-connectivity (Suzuki duality).
-  stack.clear();
-  for (int x = 0; x < w; ++x) {
-    for (int y : {0, h - 1}) {
-      const int64_t p = (int64_t)y * w + x;
-      if (!fg[p] && lab[p] == 0) {
-        lab[p] = -1;
-        stack.push_back(p);
-      }
+  // 2. 8-connected union over fg runs (adjacent rows overlap with the
+  //    [x0-1, x1+1] dilation), two-pointer per row pair. The root keeps
+  //    the raster-first run index via union-by-min.
+  auto fg_union = [&](int32_t a, int32_t b) {
+    int32_t ra = uf_find(fgr, a), rb = uf_find(fgr, b);
+    if (ra == rb) return;
+    if (ra < rb) std::swap(ra, rb);  // smaller index (earlier run) wins
+    fgr[ra].parent = rb;
+  };
+  for (int y = 1; y < h; ++y) {
+    int32_t i = fg_row[y - 1], j = fg_row[y];
+    const int32_t iend = fg_row[y], jend = fg_row[y + 1];
+    while (i < iend && j < jend) {
+      // 8-conn: prev run [px0, px1] touches cur run dilated to
+      // [cx0-1, cx1+1]
+      if (fgr[i].x1 >= fgr[j].x0 - 1 && fgr[i].x0 <= fgr[j].x1 + 1)
+        fg_union(i, j);
+      if (fgr[i].x1 < fgr[j].x1) ++i; else ++j;
     }
   }
-  for (int y = 0; y < h; ++y) {
-    for (int x : {0, w - 1}) {
-      const int64_t p = (int64_t)y * w + x;
-      if (!fg[p] && lab[p] == 0) {
-        lab[p] = -1;
-        stack.push_back(p);
+
+  // 3. 4-connected union over bg runs; outer = union containing any run
+  //    that touches the frame.
+  for (int y = 1; y < h; ++y) {
+    int32_t i = bg_row[y - 1], j = bg_row[y];
+    const int32_t iend = bg_row[y], jend = bg_row[y + 1];
+    while (i < iend && j < jend) {
+      if (bgr[i].x1 >= bgr[j].x0 && bgr[i].x0 <= bgr[j].x1) {
+        int32_t ra = uf_find(bgr, i), rb = uf_find(bgr, j);
+        if (ra != rb) {
+          if (ra < rb) std::swap(ra, rb);
+          bgr[ra].parent = rb;
+        }
       }
+      if (bgr[i].x1 < bgr[j].x1) ++i; else ++j;
     }
   }
-  while (!stack.empty()) {
-    const int64_t q = stack.back();
-    stack.pop_back();
-    const int y = (int)(q / w), x = (int)(q % w);
-    const int nx4[4] = {x + 1, x - 1, x, x};
-    const int ny4[4] = {y, y, y + 1, y - 1};
-    for (int d = 0; d < 4; ++d) {
-      if (nx4[d] < 0 || ny4[d] < 0 || nx4[d] >= w || ny4[d] >= h) continue;
-      const int64_t nq = (int64_t)ny4[d] * w + nx4[d];
-      if (!fg[nq] && lab[nq] == 0) {
-        lab[nq] = -1;
-        stack.push_back(nq);
+  std::vector<uint8_t> bg_outer(bgr.size(), 0);
+  for (size_t i = 0; i < bgr.size(); ++i) {
+    // Row of bg run i: recover lazily below via the frame tests that
+    // need it; runs on row 0 / h-1 are exactly those indexed in
+    // [bg_row[0], bg_row[1]) and [bg_row[h-1], bg_row[h]).
+    if (bgr[i].x0 == 0 || bgr[i].x1 == w - 1) bg_outer[uf_find(bgr, (int32_t)i)] = 1;
+  }
+  for (int32_t i = bg_row[0]; i < bg_row[1]; ++i)
+    bg_outer[uf_find(bgr, i)] = 1;
+  for (int32_t i = bg_row[h - 1]; i < bg_row[h]; ++i)
+    bg_outer[uf_find(bgr, i)] = 1;
+
+  // 4. Top-level fg components: a run touching the frame, or 4-adjacent
+  //    to an outer bg run (same-row left/right cells, or overlapping
+  //    runs on the rows above/below).
+  const int32_t n_fg = (int32_t)fgr.size();
+  std::vector<uint8_t> top(n_fg, 0);  // indexed by ROOT run index
+  auto mark_top = [&](int32_t run) { top[uf_find(fgr, run)] = 1; };
+  auto bg_at = [&](int y, int x) -> int32_t {
+    // bg run on row y covering column x, or -1. Binary search.
+    int32_t lo = bg_row[y], hi = bg_row[y + 1];
+    while (lo < hi) {
+      const int32_t mid = (lo + hi) / 2;
+      if (bgr[mid].x1 < x) lo = mid + 1;
+      else if (bgr[mid].x0 > x) hi = mid;
+      else return mid;
+    }
+    return -1;
+  };
+  for (int32_t i = 0; i < n_fg; ++i) {
+    if (top[uf_find(fgr, i)]) continue;
+    const int y = fg_y[i];
+    const int32_t x0 = fgr[i].x0, x1 = fgr[i].x1;
+    if (y == 0 || y == h - 1 || x0 == 0 || x1 == w - 1) {
+      mark_top(i);
+      continue;
+    }
+    // same-row neighbors are bg by construction (runs alternate)
+    const int32_t bl = bg_at(y, x0 - 1);
+    if (bl >= 0 && bg_outer[uf_find(bgr, bl)]) { mark_top(i); continue; }
+    const int32_t br = bg_at(y, x1 + 1);
+    if (br >= 0 && bg_outer[uf_find(bgr, br)]) { mark_top(i); continue; }
+    bool done = false;
+    for (int dy = -1; dy <= 1 && !done; dy += 2) {
+      const int yy = y + dy;
+      // overlapping bg runs on row yy within [x0, x1]
+      int32_t lo = bg_row[yy], hi = bg_row[yy + 1];
+      // first run with run.x1 >= x0
+      while (lo < hi) {
+        const int32_t mid = (lo + hi) / 2;
+        if (bgr[mid].x1 < x0) lo = mid + 1; else hi = mid;
+      }
+      for (int32_t k = lo; k < bg_row[yy + 1] && bgr[k].x0 <= x1; ++k) {
+        if (bg_outer[uf_find(bgr, k)]) {
+          mark_top(i);
+          done = true;
+          break;
+        }
       }
     }
   }
 
-  // 3. Top-level components: touch the frame or the outer background
-  //    (4-adjacency).
-  std::vector<uint8_t> top(n_comp + 1, 0);
-  for (int y = 0; y < h; ++y) {
-    for (int x = 0; x < w; ++x) {
-      const int64_t p = (int64_t)y * w + x;
-      if (!fg[p]) continue;
-      const int32_t c = lab[p];
-      if (top[c]) continue;
-      if (x == 0 || y == 0 || x == w - 1 || y == h - 1) {
-        top[c] = 1;
-        continue;
-      }
-      if (lab[p - 1] == -1 || lab[p + 1] == -1 || lab[p - w] == -1 ||
-          lab[p + w] == -1) {
-        top[c] = 1;
-      }
-    }
-  }
+  // 5. Collect top-level components in raster discovery order (root run
+  //    index IS discovery order: roots are union-by-min and runs are
+  //    created in raster order), then trace in REVERSE (cv2 output
+  //    order). First pixel of a component = start of its root run.
+  std::vector<int32_t> roots;
+  for (int32_t i = 0; i < n_fg; ++i)
+    if (uf_find(fgr, i) == i && top[i]) roots.push_back(i);
+  // roots is ascending already (scan order); iterate descending below.
 
-  // 4. Trace each top-level component's outer border, highest component
-  //    id first (reverse raster discovery = cv2 output order).
   int32_t n_out = 0;
   int32_t vtop = 0;
   std::vector<Pt> chain;
-  for (int32_t c = n_comp; c >= 1; --c) {
-    if (!top[c]) continue;
+  auto fg_at = [&](int x, int y) -> bool {
+    return x >= 0 && y >= 0 && x < w && y < h && fg[(int64_t)y * w + x];
+  };
+  for (int32_t ri = (int32_t)roots.size() - 1; ri >= 0; --ri) {
+    const int32_t r = roots[ri];
     if (n_out >= max_contours) return -1;
-
-    const int64_t p0 = first_pixel[c - 1];
-    const int y0 = (int)(p0 / w), x0 = (int)(p0 % w);
+    const int x0 = fgr[r].x0, y0 = fg_y[r];
+    const int64_t p0 = (int64_t)y0 * w + x0;
     chain.clear();
 
     // Moore-neighbor trace (clockwise search from the backtrack
-    // direction). Start pixel is the component's raster-first pixel, so
-    // its W and N neighbors are not part of the component.
+    // direction) on the fg raster: any fg 8-neighbor reached from this
+    // component IS this component (distinct 8-connected components are
+    // never 8-adjacent). Start pixel is the component's raster-first
+    // pixel, so its W and N neighbors are background.
     //
     // Termination: the walk is deterministic in the state
     // (pixel, backtrack). The artificial initial backtrack (W) may never
@@ -174,9 +259,7 @@ int cv_trace_contours(const uint8_t* fg, int h, int w, int32_t* vert_xy,
     auto find_dir = [&](int px, int py, int back) -> int {
       for (int d = 1; d <= 8; ++d) {
         const int cand = (back + d) & 7;
-        const int nx = px + DX[cand], ny = py + DY[cand];
-        if (nx < 0 || ny < 0 || nx >= w || ny >= h) continue;
-        if (lab[(int64_t)ny * w + nx] == c) return cand;
+        if (fg_at(px + DX[cand], py + DY[cand])) return cand;
       }
       return -1;
     };
@@ -187,7 +270,7 @@ int cv_trace_contours(const uint8_t* fg, int h, int w, int32_t* vert_xy,
       const int x1 = x0 + DX[dir0], y1 = y0 + DY[dir0];
       const int back1 = (dir0 + 4) & 7;
       int cx = x1, cy = y1, back = back1;
-      int guard = 8 * (int)hw + 16;
+      int64_t guard = 8 * hw + 16;
       while (true) {
         chain.push_back({cx, cy});
         const int dir = find_dir(cx, cy, back);
@@ -199,7 +282,7 @@ int cv_trace_contours(const uint8_t* fg, int h, int w, int32_t* vert_xy,
       }
     }
 
-    // 5. CHAIN_APPROX_SIMPLE vertex set: cyclic direction-change points.
+    // 6. CHAIN_APPROX_SIMPLE vertex set: cyclic direction-change points.
     const int m = (int)chain.size();
     const int32_t voff = vtop;
     if (m == 1) {
@@ -223,7 +306,7 @@ int cv_trace_contours(const uint8_t* fg, int h, int w, int32_t* vert_xy,
       }
     }
 
-    // 6. Polygon stats over the FULL chain (identical integrals to the
+    // 7. Polygon stats over the FULL chain (identical integrals to the
     //    vertex polygon; collinear points change nothing).
     double a2 = 0.0, m10x6 = 0.0, m01x6 = 0.0;
     double minx = chain[0].x, maxx = chain[0].x;
@@ -255,8 +338,6 @@ int cv_trace_contours(const uint8_t* fg, int h, int w, int32_t* vert_xy,
     ++n_out;
   }
   offsets[n_out] = vtop;
-  // shift offsets so offsets[k] is the start of contour k
-  // (they were written as start offsets already; final entry = total)
   return n_out;
 }
 
