@@ -149,6 +149,37 @@ def _cmd_serve(args) -> int:
     return webapp.main(argv) or 0
 
 
+def _cmd_serve_batch(args) -> int:
+    """Production serving: micro-batching HTTP endpoint (pipeline/server.py).
+
+    Unlike `serve` (the interactive webapp, one analysis at a time),
+    this groups concurrent POST /analyze requests into device batches."""
+    from .core.config import DetectorConfig, PipelineConfig
+    from .models.checkpoint import load_variables
+    from .pipeline.analyzer import CircuitAnalyzerTPU
+    from .pipeline.server import serve
+
+    yolo_vars = load_variables(args.yolo_checkpoint) if args.yolo_checkpoint else None
+    sam_vars = load_variables(args.sam2_checkpoint) if args.sam2_checkpoint else None
+    cfg = PipelineConfig(
+        detector=DetectorConfig(scale=args.scale, img_size=args.det_size),
+        use_sam2=sam_vars is not None or args.force_sam2,
+    )
+    analyzer = CircuitAnalyzerTPU(
+        config=cfg,
+        yolo_variables=yolo_vars,
+        sam2_variables=sam_vars,
+        use_sam2=cfg.use_sam2,
+    )
+    serve(
+        analyzer,
+        port=args.port,
+        batch_size=args.batch_size,
+        max_wait_ms=args.max_wait_ms,
+    )
+    return 0
+
+
 def _cmd_simulate(args) -> int:
     from .core.config import SimConfig
     from .netlist.values import detect_analysis_mode
@@ -212,6 +243,22 @@ def main(argv=None) -> int:
     pv.add_argument("--yolo-checkpoint")
     pv.add_argument("--sam2-checkpoint")
 
+    pp = sub.add_parser(
+        "serve-batch",
+        help="production serving: micro-batching HTTP endpoint "
+        "(groups concurrent requests into device batches)",
+    )
+    pp.add_argument("--port", type=int, default=8600)
+    pp.add_argument("--batch-size", type=int, default=None)
+    pp.add_argument("--max-wait-ms", type=float, default=25.0,
+                    help="flush a non-full batch once its oldest request "
+                    "has waited this long")
+    pp.add_argument("--scale", default="l", choices=list("nsmlx"))
+    pp.add_argument("--det-size", type=int, default=640)
+    pp.add_argument("--yolo-checkpoint")
+    pp.add_argument("--sam2-checkpoint")
+    pp.add_argument("--force-sam2", action="store_true")
+
     args = parser.parse_args(argv)
     if getattr(args, "platform", "auto") != "auto":
         # Must win over the TPU plugin's JAX_PLATFORMS rewrite (the env
@@ -228,6 +275,8 @@ def main(argv=None) -> int:
         return _cmd_simulate(args)
     if args.cmd == "serve":
         return _cmd_serve(args)
+    if args.cmd == "serve-batch":
+        return _cmd_serve_batch(args)
     return 1
 
 
