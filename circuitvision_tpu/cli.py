@@ -118,6 +118,9 @@ def _cmd_analyze_batch(args) -> int:
 
     import time
 
+    if args.distributed:
+        return _run_distributed(args, analyzer, paths)
+
     images = [load_image(p) for p in paths]
     t0 = time.time()
     results = analyzer.analyze_batch(images, batch_size=args.batch_size)
@@ -135,6 +138,61 @@ def _cmd_analyze_batch(args) -> int:
                 f.write((res.netlist_text or "") + "\n")
     print(f"{len(images)} images in {dt:.2f}s "
           f"({len(images) / dt:.2f} images/s incl. compile)")
+    return 0
+
+
+class _LazyImages:
+    """len/getitem view over image paths that decodes on access, so each
+    process of a distributed run only decodes its own local_span."""
+
+    def __init__(self, paths):
+        from .io.image_io import load_image
+
+        self._paths = paths
+        self._load = load_image
+
+    def __len__(self):
+        return len(self._paths)
+
+    def __getitem__(self, i):
+        return self._load(self._paths[i])
+
+
+def _run_distributed(args, analyzer, paths) -> int:
+    """Multi-host analyze-batch: one process per host (pod slice or
+    JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID env), each
+    analyzing its span of the image list on its own chips; process 0
+    writes the gathered netlists. Single-process (no coordinator) it
+    degrades to the whole list on the local mesh."""
+    import os
+    import time
+
+    import jax
+
+    from .parallel import multihost
+
+    multihost.initialize()
+    t0 = time.time()
+    local_results, netlists = multihost.analyze_many_distributed(
+        analyzer, _LazyImages(paths), batch_size=args.batch_size
+    )
+    dt = time.time() - t0
+
+    pid, nproc = jax.process_index(), jax.process_count()
+    span = multihost.local_span(len(paths))
+    for gi, res in zip(span, local_results):
+        name = os.path.splitext(os.path.basename(paths[gi]))[0]
+        print(f"[proc {pid}] {name}: {len(res.bboxes_orig_nms)} detections, "
+              f"{len(res.nodes)} nodes")
+    if pid == 0:
+        if args.out_dir:
+            os.makedirs(args.out_dir, exist_ok=True)
+            for path, net in zip(paths, netlists):
+                name = os.path.splitext(os.path.basename(path))[0]
+                with open(os.path.join(args.out_dir, f"{name}.cir"), "w") as f:
+                    f.write((net["netlist"] or net["valueless"] or "") + "\n")
+        print(f"{len(paths)} images over {nproc} process(es) in {dt:.2f}s "
+              f"({len(paths) / dt:.2f} images/s incl. compile)")
     return 0
 
 
@@ -231,6 +289,13 @@ def main(argv=None) -> int:
     pb.add_argument("--yolo-checkpoint")
     pb.add_argument("--sam2-checkpoint")
     pb.add_argument("--force-sam2", action="store_true")
+    pb.add_argument(
+        "--distributed", action="store_true",
+        help="multi-host: join the jax.distributed runtime (pod "
+             "auto-config or JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+             "JAX_PROCESS_ID env) and split the image list across "
+             "processes (parallel/multihost.py); run one copy of this "
+             "command per host")
 
     ps = sub.add_parser("simulate", help="simulate an existing netlist file")
     ps.add_argument("netlist")

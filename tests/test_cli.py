@@ -59,3 +59,30 @@ class TestAnalyzeBatchCommand:
         empty = tmp_path / "none"
         empty.mkdir()
         assert main(["analyze-batch", str(empty)]) == 1
+
+    def test_distributed_flag_single_process(self, tmp_path, capsys):
+        """--distributed with no coordinator degrades to the whole list on
+        the local mesh (multihost single-process semantics); netlists are
+        written from the gathered list. True multi-process coverage is
+        tests/test_multihost.py."""
+        from PIL import Image
+
+        from circuitvision_tpu.eval.synth import make_circuits
+
+        img_dir = tmp_path / "imgs"
+        out_dir = tmp_path / "netlists"
+        img_dir.mkdir()
+        for c in make_circuits()[:2]:
+            Image.fromarray(c.image).save(img_dir / f"{c.name}.png")
+
+        rc = main([
+            "--platform", "cpu",
+            "analyze-batch", str(img_dir), "--distributed",
+            "--scale", "n", "--det-size", "64", "--batch-size", "8",
+            "--out-dir", str(out_dir),
+        ])
+        assert rc == 0
+        assert sorted(os.listdir(out_dir)) == ["golden.cir", "loop.cir"]
+        out = capsys.readouterr().out
+        assert "2 images over 1 process(es)" in out
+        assert "[proc 0] golden:" in out and "[proc 0] loop:" in out
