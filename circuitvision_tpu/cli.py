@@ -179,7 +179,7 @@ def _run_distributed(args, analyzer, paths) -> int:
     dt = time.time() - t0
 
     pid, nproc = jax.process_index(), jax.process_count()
-    span = multihost.local_span(len(paths))
+    span = multihost.balanced_span(len(paths))
     for gi, res in zip(span, local_results):
         name = os.path.splitext(os.path.basename(paths[gi]))[0]
         print(f"[proc {pid}] {name}: {len(res.bboxes_orig_nms)} detections, "

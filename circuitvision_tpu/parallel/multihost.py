@@ -187,6 +187,17 @@ def gather_bytes(payload: bytes) -> list:
     return [allbuf[i, : int(lens[i])].tobytes() for i in range(nproc)]
 
 
+def balanced_span(n_global: int) -> range:
+    """Like :func:`local_span` but for host-side work with no global
+    device array behind it: uneven counts are allowed, the first
+    ``n_global % nproc`` processes take one extra item."""
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    q, r = divmod(n_global, nproc)
+    start = pid * q + min(pid, r)
+    return range(start, start + q + (1 if pid < r else 0))
+
+
 def analyze_many_distributed(
     analyzer,
     images: Sequence[np.ndarray],
@@ -197,12 +208,12 @@ def analyze_many_distributed(
 
     The data axis is host-outermost (:func:`global_mesh`), so the optimal
     multi-host layout for the product path needs **no cross-host
-    collectives at all**: each process analyzes its :func:`local_span` of
-    the list on its OWN locally-attached chips (a local data mesh over
+    collectives at all**: each process analyzes its :func:`balanced_span`
+    of the list on its OWN locally-attached chips (a local data mesh over
     ``jax.local_devices()``), and DCN carries only the final netlist text
     (:func:`gather_bytes`). This is the multi-host form of the
     reference's upload→netlist pipeline (src/analysis_pipeline.py:97-326)
-    at pod scale.
+    at pod scale; any image count works on any process count.
 
     Returns ``(local_results, netlists)``: this process's full
     ``AnalysisResult`` list for its span, plus the globally-indexed list
@@ -214,7 +225,7 @@ def analyze_many_distributed(
     from ..pipeline.batch import BatchedPipeline
     from .mesh import make_mesh
 
-    span = local_span(len(images))
+    span = balanced_span(len(images))
     mesh = make_mesh(analyzer.cfg.mesh, devices=jax.local_devices())
     pipe = BatchedPipeline(analyzer, mesh=mesh, batch_size=batch_size)
     local_results = pipe.analyze_many(

@@ -59,13 +59,14 @@ def tiny_analyzer():
 
 
 def inference_images():
-    """Global 4-image work list (2 circuits x 2) + ground-truth detections
-    keyed by image shape, shared by all worker processes and the parent."""
+    """Global 5-image work list (odd on purpose: 2 processes take a 3/2
+    balanced_span split) + ground-truth detections keyed by image shape,
+    shared by all worker processes and the parent."""
     from tests.test_batch_parity import golden_image, loop_image
 
     golden, golden_boxes = golden_image()
     loop, loop_boxes = loop_image()
-    images = [golden, loop, golden, loop]
+    images = [golden, loop, golden, loop, golden]
     gt_by_shape = {golden.shape: golden_boxes, loop.shape: loop_boxes}
     return images, gt_by_shape
 

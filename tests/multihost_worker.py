@@ -173,7 +173,8 @@ def run_inference(pid: int, nproc: int) -> None:
     local_results, netlists = multihost.analyze_many_distributed(
         analyzer, images, batch_size=4
     )
-    assert len(local_results) == len(images) // nproc
+    # 5 images over 2 processes: balanced_span gives 3/2 (uneven on purpose).
+    assert len(local_results) == len(multihost.balanced_span(len(images)))
     assert len(netlists) == len(images)
     print(
         "RESULT netlists=" + "|".join(n["valueless"].replace("\n", ";") for n in netlists),

@@ -207,5 +207,6 @@ class TestSingleProcessDegradation:
         np.testing.assert_array_equal(np.asarray(garr), local)
 
         assert multihost.local_span(24) == range(0, 24)
+        assert multihost.balanced_span(5) == range(0, 5)
         assert multihost.gather_bytes(b"abc") == [b"abc"]
         multihost.sync()  # no-op
