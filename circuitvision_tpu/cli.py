@@ -89,6 +89,13 @@ def _cmd_analyze_batch(args) -> int:
     from .models.checkpoint import load_variables
     from .pipeline.analyzer import CircuitAnalyzerTPU
 
+    if args.distributed:
+        # Must run before ANY jax call (checkpoint load, analyzer init):
+        # jax.distributed.initialize refuses once the backend exists.
+        from .parallel import multihost
+
+        multihost.initialize()
+
     exts = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
     paths = []
     for p in args.images:
@@ -163,7 +170,8 @@ def _run_distributed(args, analyzer, paths) -> int:
     JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID env), each
     analyzing its span of the image list on its own chips; process 0
     writes the gathered netlists. Single-process (no coordinator) it
-    degrades to the whole list on the local mesh."""
+    degrades to the whole list on the local mesh. multihost.initialize()
+    already ran at the top of _cmd_analyze_batch (before any jax call)."""
     import os
     import time
 
@@ -171,7 +179,6 @@ def _run_distributed(args, analyzer, paths) -> int:
 
     from .parallel import multihost
 
-    multihost.initialize()
     t0 = time.time()
     local_results, netlists = multihost.analyze_many_distributed(
         analyzer, _LazyImages(paths), batch_size=args.batch_size
@@ -191,8 +198,11 @@ def _run_distributed(args, analyzer, paths) -> int:
                 name = os.path.splitext(os.path.basename(path))[0]
                 with open(os.path.join(args.out_dir, f"{name}.cir"), "w") as f:
                     f.write((net["netlist"] or net["valueless"] or "") + "\n")
+        # Unlike the single-host path (which decodes before timing),
+        # this window includes per-host JPEG decode — the lazy span view
+        # defers it into the pipeline — so label it as such.
         print(f"{len(paths)} images over {nproc} process(es) in {dt:.2f}s "
-              f"({len(paths) / dt:.2f} images/s incl. compile)")
+              f"({len(paths) / dt:.2f} images/s incl. decode+compile)")
     return 0
 
 

@@ -72,11 +72,27 @@ def initialize(
         num_processes = int(env_np)
     if process_id is None and env_pid is not None:
         process_id = int(env_pid)
+    if coordinator_address is None and (
+        num_processes is not None or process_id is not None
+    ):
+        # Half-configured env: silently running single-process here would
+        # make every host analyze the full work list independently.
+        raise ValueError(
+            "JAX_NUM_PROCESSES/JAX_PROCESS_ID are set but no coordinator "
+            "address is configured (JAX_COORDINATOR_ADDRESS); refusing to "
+            "fall back to single-process"
+        )
     # Must not touch the backend before jax.distributed.initialize (it
     # refuses to run once XLA is initialized), so the "are we on a pod
-    # where JAX auto-detects the topology" check is env-only.
-    on_tpu = "tpu" in os.environ.get("JAX_PLATFORMS", "").lower()
-    if coordinator_address is None and not on_tpu:
+    # where JAX auto-detects the topology" check is env-only. Cloud TPU
+    # sets TPU_WORKER_HOSTNAMES whenever libtpu is present (single host:
+    # "localhost"), so only a MULTI-entry worker table — or a megascale
+    # coordinator — marks a real multi-host slice.
+    on_tpu_pod = (
+        "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ
+    )
+    if coordinator_address is None and not on_tpu_pod:
         return False
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
@@ -104,6 +120,10 @@ def global_mesh(cfg: Optional[MeshConfig] = None) -> Mesh:
     """
     cfg = cfg or MeshConfig()
     nproc = jax.process_count()
+    if nproc == 1:
+        from .mesh import make_mesh
+
+        return make_mesh(cfg)  # full make_mesh semantics, subset meshes included
     n_local = jax.local_device_count()
     model = max(1, cfg.model_parallel)
     if n_local % model != 0:
@@ -119,11 +139,6 @@ def global_mesh(cfg: Optional[MeshConfig] = None) -> Mesh:
             f"{nproc} processes x {local_data} local data-shards; use "
             "data_parallel=-1 (all devices) for multi-host meshes"
         )
-    if nproc == 1:
-        devs = np.asarray(jax.devices()[: local_data * model]).reshape(
-            local_data, model
-        )
-        return Mesh(devs, (cfg.data_axis, cfg.model_axis))
     from jax.experimental import mesh_utils
 
     # The DCN granule is the *process* (one process per host), which also

@@ -70,6 +70,14 @@ def run_mesh_checks(pid: int, nproc: int) -> None:
     n_local = jax.local_device_count()
     assert mesh.devices.shape == (nproc * n_local // 2, 2), mesh.devices.shape
 
+    # A model axis that does not divide the LOCAL device count would have
+    # to cross hosts (ride DCN) — must be rejected in multi-process runs.
+    try:
+        multihost.global_mesh(MeshConfig(model_parallel=3))
+        raise AssertionError("expected ValueError for cross-host model axis")
+    except ValueError as e:
+        assert "model axis may not cross" in str(e)
+
     # Model axis must stay within one host (ICI): both devices of every
     # model-axis row belong to the same process.
     for row in mesh.devices.reshape(-1, 2):

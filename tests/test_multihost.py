@@ -173,7 +173,13 @@ class TestSingleProcessDegradation:
         try:
             assert multihost.initialize() is False
             assert multihost.is_distributed() is False
+            # Half-configured env must error, not silently run N
+            # independent single-process jobs.
+            os.environ["JAX_NUM_PROCESSES"] = "2"
+            with pytest.raises(ValueError, match="no coordinator"):
+                multihost.initialize()
         finally:
+            os.environ.pop("JAX_NUM_PROCESSES", None)
             os.environ.update(env)
 
     def test_global_mesh_reduces_to_local_mesh(self):
@@ -189,12 +195,16 @@ class TestSingleProcessDegradation:
         assert g.devices.shape == l.devices.shape == (jax.device_count() // 2, 2)
         assert g.axis_names == l.axis_names
 
-    def test_global_mesh_rejects_cross_host_model_axis(self):
+    def test_global_mesh_subset_single_process(self):
+        """Single-process, global_mesh delegates fully to make_mesh —
+        including explicit subset meshes (data_parallel < all devices)
+        that the multi-process layout rejects. The cross-host-model-axis
+        rejection itself is asserted inside the 2-process mesh worker."""
         from circuitvision_tpu.core.config import MeshConfig
         from circuitvision_tpu.parallel import multihost
 
-        with pytest.raises(ValueError, match="model axis may not cross"):
-            multihost.global_mesh(MeshConfig(model_parallel=3))
+        g = multihost.global_mesh(MeshConfig(data_parallel=2, model_parallel=1))
+        assert g.devices.shape == (2, 1)
 
     def test_global_batch_and_span_and_gather(self):
         from circuitvision_tpu.core.config import MeshConfig
