@@ -47,3 +47,24 @@ def fast_init(module, rng: jax.Array, *args, method=None, **kwargs) -> dict:
         return jnp.zeros(shape, dtype)
 
     return jax.tree_util.tree_map_with_path(materialize, shapes)
+
+
+def cast_float_params(variables, dtype):
+    """Cast float32 leaves to the model's compute dtype (no-op for f32).
+
+    Flax keeps params in float32 even when a module computes in bfloat16,
+    and converted checkpoints are stored float32 — without this cast XLA
+    re-converts every parameter on every step (~137 ms/step for SAM2-L,
+    see bench.py) and Pallas kernels receive f32 refs whose doubled VMEM
+    footprint can exceed the scoped-vmem limit at serving batch sizes.
+    Integer/bool leaves (counters, tables) are left untouched.
+    """
+    dt = jnp.dtype(dtype)
+    if dt == jnp.float32:
+        return variables
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dt)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32
+        else x,
+        variables,
+    )

@@ -93,6 +93,11 @@ class CircuitAnalyzerTPU:
             if yolo_variables is not None
             else yolo_init(self.yolo, rng, img_size=self.cfg.detector.img_size)
         )
+        # Converted checkpoints (and flax init) hold float32 params even
+        # for bf16 models; cast once here instead of every step on device.
+        from ..models.initialization import cast_float_params
+
+        self.yolo_variables = cast_float_params(self.yolo_variables, dt)
 
         self.sam2 = None
         self.sam2_variables = None
@@ -112,6 +117,9 @@ class CircuitAnalyzerTPU:
                     self.sam2_variables = sam2_init(
                         self.sam2, jax.random.fold_in(rng, 1)
                     )
+                self.sam2_variables = cast_float_params(
+                    self.sam2_variables, sdt
+                )
             except Exception:
                 logger.exception("SAM2 initialization failed; disabling SAM2")
                 self.use_sam2 = False

@@ -152,3 +152,53 @@ class TestVLMParsing:
     def test_parse_error_raises(self):
         with pytest.raises(ValueError):
             parse_vlm_list("not a list at all {{{")
+
+
+class TestParamDtypeCast:
+    def test_bf16_config_casts_float_params_once(self):
+        """bf16 configs must hold bf16 params (converted checkpoints and
+        flax init are float32): without the one-time cast XLA re-converts
+        every parameter per step and Pallas kernels get f32 refs whose
+        doubled VMEM footprint OOMs at serving batch sizes (observed on
+        the v5e at batch 8)."""
+        import jax
+        import jax.numpy as jnp
+
+        analyzer = CircuitAnalyzerTPU(
+            config=PipelineConfig(
+                detector=DetectorConfig(scale="n", img_size=64, dtype="bfloat16"),
+                sam2=SAM2Config(
+                    resolution=128, embed_dim=32, num_heads=1, stages=(1, 1, 2, 1),
+                    global_att_blocks=(3,), window_spec=(4, 2, 4, 2),
+                    backbone_channel_list=(256, 128, 64, 32), decoder_mlp_dim=64,
+                    dtype="bfloat16",
+                ),
+                use_sam2=True,
+            ),
+            use_sam2=True,
+            vlm_client=FakeVLMClient(),
+        )
+        for tree in (analyzer.yolo_variables, analyzer.sam2_variables):
+            leaves = jax.tree_util.tree_leaves(tree)
+            assert leaves
+            assert not any(x.dtype == jnp.float32 for x in leaves), (
+                "float32 params survived the bf16 cast"
+            )
+
+    def test_f32_config_params_untouched(self):
+        analyzer = CircuitAnalyzerTPU(
+            config=PipelineConfig(
+                detector=DetectorConfig(scale="n", img_size=64, dtype="float32"),
+                use_sam2=False,
+            ),
+            use_sam2=False,
+            vlm_client=FakeVLMClient(),
+        )
+        import jax
+        import jax.numpy as jnp
+
+        assert all(
+            x.dtype == jnp.float32
+            for x in jax.tree_util.tree_leaves(analyzer.yolo_variables)
+            if jnp.issubdtype(x.dtype, jnp.floating)
+        )
