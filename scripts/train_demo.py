@@ -91,9 +91,28 @@ def main():
                          "committed step automatically")
     ap.add_argument("--save-every", type=int, default=50)
     ap.add_argument("--keep", type=int, default=3)
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host fine-tune: join the jax.distributed "
+                         "runtime (pod auto-config or JAX_COORDINATOR_ADDRESS/"
+                         "JAX_NUM_PROCESSES/JAX_PROCESS_ID env), train over "
+                         "the global (data, model) mesh with each process "
+                         "feeding its local batch shard; run one copy of "
+                         "this script per host")
     ap.add_argument("--res", type=int, default=256,
                     help="input resolution (64 for a quick CPU smoke)")
     args = ap.parse_args()
+
+    if args.distributed:
+        # Before any backend-initializing jax call (model init below).
+        from circuitvision_tpu.parallel import multihost
+
+        multihost.initialize()
+        if args.ckpt_dir:
+            raise SystemExit(
+                "--ckpt-dir with --distributed is not supported by this "
+                "demo (single-host orbax writer); checkpoint from the "
+                "production trainer instead"
+            )
 
     from circuitvision_tpu.core.config import TrainConfig
     from circuitvision_tpu.models.sam2.wrapper import (
@@ -125,7 +144,34 @@ def main():
 
     tx, _ = make_optimizer(variables, tcfg, mask=mask)
     opt_state = tx.init(variables)
-    step = jax.jit(make_train_step(model, tx, tcfg))
+
+    mesh = None
+    if args.distributed:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from circuitvision_tpu.core.config import MeshConfig
+        from circuitvision_tpu.parallel import multihost
+        from circuitvision_tpu.parallel.mesh import fsdp_param_shardings
+
+        # dp-only global mesh (model_parallel=1): params replicate, the
+        # batch shards host-outermost; the gradient psum is the only DCN
+        # traffic. The dp+FSDP variant is exercised by tests/multihost_worker.py.
+        mesh = multihost.global_mesh(MeshConfig())
+        param_sh = fsdp_param_shardings(variables, mesh, axis="model")
+        opt_sh = fsdp_param_shardings(opt_state, mesh, axis="model")
+        batch_sh = NamedSharding(mesh, PartitionSpec("data"))
+        repl = NamedSharding(mesh, PartitionSpec())
+        step = jax.jit(
+            make_train_step(model, tx, tcfg),
+            in_shardings=(param_sh, opt_sh, batch_sh, batch_sh),
+            out_shardings=(param_sh, opt_sh, repl),
+        )
+        variables = jax.device_put(variables, param_sh)
+        opt_state = jax.device_put(opt_state, opt_sh)
+        print(f"distributed: {jax.process_count()} process(es), "
+              f"mesh {dict(mesh.shape)}")
+    else:
+        step = jax.jit(make_train_step(model, tx, tcfg))
 
     start_step = 0
     if args.ckpt_dir:
@@ -150,6 +196,10 @@ def main():
     val_imgs, val_masks = make_batch(990000, 16, cfg.resolution)
 
     def eval_iou(params) -> float:
+        if mesh is not None:
+            # Params are replicated global arrays; pull to host once and
+            # evaluate process-locally (no cross-host work in eval).
+            params = jax.tree.map(np.asarray, params)
         high = fwd(params, val_imgs)
         logits = np.asarray(high[..., 0], np.float32)
         return float(np.mean([
@@ -165,6 +215,16 @@ def main():
     for i in range(start_step, args.steps):
         images, masks_b = make_batch(1000 + i * args.batch, args.batch,
                                      cfg.resolution)
+        if mesh is not None:
+            from circuitvision_tpu.parallel import multihost
+
+            # Deterministic global batch; every process feeds only its
+            # span (zero-copy process-local shards of the global array).
+            span = multihost.local_span(images.shape[0])
+            images = multihost.global_batch(images[span.start:span.stop], mesh)
+            masks_b = multihost.global_batch(
+                masks_b[span.start:span.stop], mesh
+            )
         variables, opt_state, metrics = step(
             variables, opt_state, images, masks_b
         )
