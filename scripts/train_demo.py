@@ -98,6 +98,11 @@ def main():
                          "the global (data, model) mesh with each process "
                          "feeding its local batch shard; run one copy of "
                          "this script per host")
+    ap.add_argument("--data", default=None,
+                    help="fine-tune on a real dataset (<root>/images + "
+                         "<root>/masks, train/data.py) instead of the "
+                         "synthetic generator; IoU is then reported on "
+                         "the dataset's first 16 items")
     ap.add_argument("--res", type=int, default=256,
                     help="input resolution (64 for a quick CPU smoke)")
     args = ap.parse_args()
@@ -192,8 +197,27 @@ def main():
 
     fwd = jax.jit(lambda v, x: model.apply(v, x)[0])
 
-    # Held-out eval circuits.
-    val_imgs, val_masks = make_batch(990000, 16, cfg.resolution)
+    data_iter = None
+    if args.data:
+        from circuitvision_tpu.train.data import SegmentationFolderDataset
+
+        shard, per_batch = None, args.batch
+        if mesh is not None:
+            shard = (jax.process_index(), jax.process_count())
+            per_batch = max(1, args.batch // jax.process_count())
+        ds = SegmentationFolderDataset(args.data, resolution=cfg.resolution)
+        data_iter = ds.batches(
+            per_batch, seed=1000, epochs=None, augment=True, shard=shard
+        )
+        n_val = min(16, len(ds))
+        val = [ds.load(i) for i in range(n_val)]
+        val_imgs = np.stack([v[0] for v in val])
+        val_masks = np.stack([v[1] for v in val])
+        print(f"dataset: {len(ds)} pairs from {args.data} "
+              f"(per-process batch {per_batch})")
+    else:
+        # Held-out eval circuits.
+        val_imgs, val_masks = make_batch(990000, 16, cfg.resolution)
 
     def eval_iou(params) -> float:
         if mesh is not None:
@@ -213,18 +237,28 @@ def main():
     t0 = time.time()
     loss_first = loss = None
     for i in range(start_step, args.steps):
-        images, masks_b = make_batch(1000 + i * args.batch, args.batch,
-                                     cfg.resolution)
-        if mesh is not None:
-            from circuitvision_tpu.parallel import multihost
+        if data_iter is not None:
+            images, masks_b = next(data_iter)  # already this process's shard
+            if mesh is not None:
+                from circuitvision_tpu.parallel import multihost
 
-            # Deterministic global batch; every process feeds only its
-            # span (zero-copy process-local shards of the global array).
-            span = multihost.local_span(images.shape[0])
-            images = multihost.global_batch(images[span.start:span.stop], mesh)
-            masks_b = multihost.global_batch(
-                masks_b[span.start:span.stop], mesh
-            )
+                images = multihost.global_batch(images, mesh)
+                masks_b = multihost.global_batch(masks_b, mesh)
+        else:
+            images, masks_b = make_batch(1000 + i * args.batch, args.batch,
+                                         cfg.resolution)
+            if mesh is not None:
+                from circuitvision_tpu.parallel import multihost
+
+                # Deterministic global batch; every process feeds only its
+                # span (zero-copy process-local shards of the global array).
+                span = multihost.local_span(images.shape[0])
+                images = multihost.global_batch(
+                    images[span.start:span.stop], mesh
+                )
+                masks_b = multihost.global_batch(
+                    masks_b[span.start:span.stop], mesh
+                )
         variables, opt_state, metrics = step(
             variables, opt_state, images, masks_b
         )
@@ -248,7 +282,8 @@ def main():
           f"(was {iou0:.4f}); loss {loss_first:.4f} -> {loss:.4f}; "
           f"{dt:.1f}s total, {dt / args.steps * 1e3:.0f} ms/step")
     assert loss < loss_first, "loss did not decrease"
-    assert iou1 > iou0 + 0.1, "IoU did not improve"
+    if args.data is None:  # convergence bar calibrated on the synthetic set
+        assert iou1 > iou0 + 0.1, "IoU did not improve"
     print("TRAIN DEMO OK")
 
 
