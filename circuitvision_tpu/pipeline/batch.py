@@ -567,27 +567,53 @@ class BatchedPipeline:
 
         q1: "queue.Queue" = queue.Queue(maxsize=prefetch)
         q2: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        # Error-path shutdown: once the consumer sees an exception it stops
+        # draining, so unconditional blocking put/get would deadlock the
+        # workers on the bounded queues (and then the joins below). All
+        # worker queue ops therefore poll `stop`.
+        stop = threading.Event()
+
+        def _put(q, item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def _get(q):
+            while True:
+                try:
+                    return q.get(timeout=0.1)
+                except queue.Empty:
+                    if stop.is_set():
+                        return None
 
         def detect_worker():
             try:
                 for chunk in chunks:
-                    q1.put(self._detect_crop_phase(chunk))
-            except Exception as e:  # pragma: no cover - surfaced to caller
-                q1.put(e)
-            q1.put(None)
+                    if stop.is_set():
+                        break
+                    if not _put(q1, self._detect_crop_phase(chunk)):
+                        return
+            except Exception as e:  # surfaced to caller
+                _put(q1, e)
+            _put(q1, None)
 
         def segment_worker():
             while True:
-                item = q1.get()
+                item = _get(q1)
                 if item is None or isinstance(item, Exception):
-                    q2.put(item)
+                    _put(q2, item)
                     if item is None:
                         return
                     continue
                 try:
-                    q2.put(self._segment_phase(item))
-                except Exception as e:  # pragma: no cover
-                    q2.put(e)
+                    if not _put(q2, self._segment_phase(item)):
+                        return
+                except Exception as e:  # surfaced to caller
+                    _put(q2, e)
 
         t1 = threading.Thread(target=detect_worker, daemon=True)
         t2 = threading.Thread(target=segment_worker, daemon=True)
@@ -600,6 +626,7 @@ class BatchedPipeline:
             if item is None:
                 break
             if isinstance(item, Exception):
+                stop.set()
                 t1.join()
                 t2.join()
                 raise item

@@ -185,10 +185,18 @@ class BatchingExecutor:
         deadline = first.t_submit + self.max_wait_ms / 1e3
         while len(batch) < self.pipeline.batch_size:
             remaining = deadline - time.perf_counter()
-            if remaining <= 0:
-                break
             try:
-                item = self._requests.get(timeout=remaining)
+                # The deadline only bounds waiting for requests that have
+                # NOT arrived yet: once it passes (e.g. the first request
+                # aged in a backlog), already-queued requests still join
+                # at zero latency cost — without this, any backlog would
+                # collapse every batch to size 1 exactly when batching
+                # matters most.
+                item = (
+                    self._requests.get_nowait()
+                    if remaining <= 0
+                    else self._requests.get(timeout=remaining)
+                )
             except queue.Empty:
                 break
             if item is None:
@@ -202,8 +210,10 @@ class BatchingExecutor:
         logger.exception("serving batch of %d failed", len(batch), exc_info=exc)
         for r in batch:
             if not r.future.done():
+                # Requests already completed earlier in the same loop
+                # iteration keep their success result AND stats entry.
                 r.future.set_exception(exc)
-            self._stats.record_done(r.t_submit, ok=False)
+                self._stats.record_done(r.t_submit, ok=False)
 
     def _detect_loop(self) -> None:
         while True:

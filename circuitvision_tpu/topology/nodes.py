@@ -190,14 +190,17 @@ def _label_touch_stage(fg, wid_f32, cfg, comp_boxes, comp_thr, comp_valid):
 
 
 @functools.lru_cache(maxsize=32)
-def _topology_program(cfg: TopologyConfig, in_h: int, in_w: int, max_comp: int):
-    """One jit program for the single-image raster topology stage (viz
-    flavor): resize → enhance → CC label image (for the contour/label
-    visualizations) → bit-packed binarized raster (for the host contour
+def _topology_program(cfg: TopologyConfig, in_h: int, in_w: int, with_viz: bool):
+    """One jit program for the single-image raster topology stage:
+    resize → enhance → bit-packed binarized raster (for the host contour
     stage, which computes the node graph with cv2-exact polygon
     semantics). One dispatch, one small fetch — single-image latency on
     remote-attached TPUs is round-trip-bound (~420 ms of a 650 ms
-    analyze() before fusing)."""
+    analyze() before fusing). The viz flavor additionally emits the CC
+    label image (256-iteration propagation) and the pre-enhance resize
+    for the contour/node visualizations; throughput callers
+    (fetch_viz=False) get a program without that work at all — as a jit
+    output it could not be dead-code-eliminated."""
     new_h, new_w = cfg.resize_height, int(cfg.resize_height * (in_w / in_h))
     w8 = (new_w + 7) // 8
 
@@ -205,15 +208,17 @@ def _topology_program(cfg: TopologyConfig, in_h: int, in_w: int, max_comp: int):
         resized = _cv2_resize_u8(mask_f32, (new_h, new_w))
         enhanced_u8 = _enhance_chain(resized, cfg)
         fg = enhanced_u8 > 0
-        labels = label_components(fg, max_iters=256)
         m = fg.astype(jnp.uint32)
         padded = jnp.pad(m, ((0, 0), (0, w8 * 8 - new_w)))
         bits = padded.reshape(new_h, w8, 8)
         weights = jnp.asarray((128, 64, 32, 16, 8, 4, 2, 1), jnp.uint32)
         packed = (bits * weights).sum(-1).astype(jnp.uint8)
+        if not with_viz:
+            return (packed,)
+        labels = label_components(fg, max_iters=256)
         # `resized` (pre-enhance) is the base of the reference's node
         # visualization (src/circuit_analyzer.py:1584-1586); fetched
-        # only on the viz path.
+        # only when cv2 is absent.
         return enhanced_u8, labels, packed, resized
 
     return jax.jit(program), (new_h, new_w)
@@ -248,7 +253,7 @@ def extract_nodes(
     emptied = subtract_component_boxes(wire_mask, bboxes)
     in_h, in_w = emptied.shape[:2]
 
-    program, (new_h, new_w) = _topology_program(cfg, in_h, in_w, 0)
+    program, (new_h, new_w) = _topology_program(cfg, in_h, in_w, bool(fetch_viz))
     sx, sy = new_w / in_w, new_h / in_h
     resized_bboxes = [b.scaled(sx, sy) for b in bboxes]
 
@@ -257,10 +262,12 @@ def extract_nodes(
         resized_bboxes, cfg
     )
 
-    # 2. One device dispatch for resize→enhance→label/pack.
-    enhanced_dev, labels_dev, packed_dev, resized_dev = program(
-        jnp.asarray(emptied, jnp.float32)
-    )
+    # 2. One device dispatch for resize→enhance→pack (+ label/viz flavor).
+    outs = program(jnp.asarray(emptied, jnp.float32))
+    if fetch_viz:
+        enhanced_dev, labels_dev, packed_dev, resized_dev = outs
+    else:
+        (packed_dev,) = outs
 
     # One batched host fetch (sequential np.asarray calls each pay a full
     # round trip on remote-attached TPUs). The resized (pre-enhance)

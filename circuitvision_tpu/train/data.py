@@ -139,7 +139,26 @@ class SegmentationFolderDataset:
                 else np.zeros(len(self.items), np.int64)
             )
             pairs = list(zip(perm.tolist(), codes.tolist()))
-            return pairs[idx_self::n_shards]
+            # Truncate each epoch to a multiple of n_shards so every
+            # shard's stream has the SAME length — multi-host training
+            # runs collectives in lockstep, and a longer shard would hang
+            # waiting for peers that already exhausted their iterator.
+            usable = (len(pairs) // n_shards) * n_shards
+            return pairs[:usable][idx_self::n_shards]
+
+        # A consumer that abandons the generator (break / GC mid-epoch)
+        # must release the producer, which otherwise blocks forever on
+        # the bounded queue holding preprocessed batches.
+        stop = threading.Event()
+
+        def _put(out_q: "queue.Queue", item) -> bool:
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce(out_q: "queue.Queue"):
             try:
@@ -147,36 +166,44 @@ class SegmentationFolderDataset:
                 while epochs is None or e < epochs:
                     pending = []
                     for i, code in epoch_indices(e):
+                        if stop.is_set():
+                            return
                         pending.append(self.load(i, code))
                         if len(pending) == batch_size:
-                            out_q.put(
+                            if not _put(
+                                out_q,
                                 (
                                     np.stack([p[0] for p in pending]),
                                     np.stack([p[1] for p in pending]),
-                                )
-                            )
+                                ),
+                            ):
+                                return
                             pending = []
                     if pending and not drop_remainder:
-                        out_q.put(
+                        if not _put(
+                            out_q,
                             (
                                 np.stack([p[0] for p in pending]),
                                 np.stack([p[1] for p in pending]),
-                            )
-                        )
+                            ),
+                        ):
+                            return
                     e += 1
             except Exception as exc:  # surfaced to the consumer
-                out_q.put(exc)
-            out_q.put(None)
+                _put(out_q, exc)
+            _put(out_q, None)
 
         q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
         t = threading.Thread(target=produce, args=(q,), daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, Exception):
-                t.join()
-                raise item
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            t.join()

@@ -278,9 +278,10 @@ def main():
     if loss is None:  # resumed at/after --steps; nothing trained this run
         print(f"held-out wire IoU at restore: {iou1:.4f}")
         return
+    n_run = args.steps - start_step  # steps actually executed THIS run
     print(f"held-out wire IoU after {args.steps} steps: {iou1:.4f} "
           f"(was {iou0:.4f}); loss {loss_first:.4f} -> {loss:.4f}; "
-          f"{dt:.1f}s total, {dt / args.steps * 1e3:.0f} ms/step")
+          f"{dt:.1f}s total, {dt / n_run * 1e3:.0f} ms/step")
     assert loss < loss_first, "loss did not decrease"
     if args.data is None:  # convergence bar calibrated on the synthetic set
         assert iou1 > iou0 + 0.1, "IoU did not improve"

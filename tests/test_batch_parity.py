@@ -169,6 +169,48 @@ class TestBatchParity:
         ]
 
 
+class TestErrorPropagation:
+    def test_segment_stage_error_raises_without_hang(self, monkeypatch):
+        """A stage exception with many chunks still pending must raise to
+        the caller. Regression: the consumer used to join the producer
+        threads BEFORE raising; with > ~2*prefetch chunks queued the
+        producers were blocked on the bounded queues and the join
+        deadlocked — the caller hung instead of seeing the error."""
+        import threading
+
+        analyzer = CircuitAnalyzerTPU(
+            config=PipelineConfig(
+                detector=DetectorConfig(scale="n", img_size=64, dtype="float32"),
+                use_sam2=False,
+            ),
+            use_sam2=False,
+            vlm_client=FakeVLMClient(),
+        )
+        _inject_detections(monkeypatch, analyzer)
+        pipe = BatchedPipeline(analyzer, mesh=_cpu_mesh(2), batch_size=2)
+
+        def boom(self, staged):
+            raise RuntimeError("injected segment failure")
+
+        monkeypatch.setattr(BatchedPipeline, "_segment_phase", boom)
+
+        img = loop_image()[0]
+        outcome = {}
+
+        def run():
+            try:
+                pipe.analyze_many([img] * 20, prefetch=2)  # 10 chunks
+                outcome["result"] = "returned"
+            except RuntimeError as e:
+                outcome["result"] = str(e)
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        t.join(timeout=120)
+        assert not t.is_alive(), "analyze_many hung on a stage exception"
+        assert outcome["result"] == "injected segment failure"
+
+
 @pytest.mark.slow
 class TestBatchSam2Path:
     def test_sam2_mask_bitwise_equals_single_path(self, monkeypatch):

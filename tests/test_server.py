@@ -114,6 +114,27 @@ class TestBatchingExecutor:
         with pytest.raises(RuntimeError):
             ex.submit(loop_image()[0])
 
+    def test_backlogged_queue_still_fills_batches(self, pipeline):
+        """An aged first request (queue backlog past max_wait_ms) must
+        still coalesce with already-queued requests: the deadline bounds
+        waiting for requests that have NOT arrived, not batch assembly.
+        Regression: the old code broke out at deadline<=0 and served
+        1-request batches under exactly the load batching exists for."""
+        import queue as _q
+
+        from circuitvision_tpu.pipeline.server import _Request
+
+        ex = BatchingExecutor.__new__(BatchingExecutor)
+        ex.pipeline = pipeline  # batch_size 4
+        ex.max_wait_ms = 25.0
+        ex._requests = _q.Queue()
+        stale = time.perf_counter() - 1.0  # submitted 1 s ago
+        for _ in range(6):
+            ex._requests.put(_Request(None, None, stale))
+        batch = ex._next_batch()
+        assert len(batch) == 4  # full batch, not 1
+        assert ex._requests.qsize() == 2
+
 
 class TestHTTPServer:
     def test_analyze_roundtrip_and_stats(self, pipeline):

@@ -101,26 +101,25 @@ class TestBatches:
         sizes = [x.shape[0] for x, _ in ds.batches(2, epochs=1, drop_remainder=False)]
         assert sizes == [2, 2, 2, 1]
 
-    def test_shards_partition_each_epoch(self, dataset_root):
-        """Round-robin shards are disjoint and cover the permutation —
-        the multi-host data-parallel contract (one shard per process)."""
+    def test_shards_are_equal_length_and_disjoint(self, dataset_root):
+        """Shards must have the SAME length (multi-host training runs
+        collectives in lockstep — a longer shard would hang waiting for
+        exhausted peers), so each epoch truncates to a multiple of
+        n_shards; the kept indices partition the permutation prefix."""
         ds = SegmentationFolderDataset(dataset_root, resolution=RES)
 
-        def mask_ids(shard):
-            ids = []
-            for _x, y in ds.batches(
-                1, seed=9, epochs=1, shard=shard, drop_remainder=False
-            ):
-                ids.append(y[0].tobytes())
-            return ids
+        def n_items(shard):
+            return sum(
+                y.shape[0]
+                for _x, y in ds.batches(
+                    1, seed=9, epochs=1, shard=shard, drop_remainder=False
+                )
+            )
 
-        s0, s1 = mask_ids((0, 2)), mask_ids((1, 2))
-        assert len(s0) == 4 and len(s1) == 3  # 7 items round-robin
-        # masks identify samples here only loosely (same drawn quadrant),
-        # so partition is checked on indices instead:
+        assert n_items((0, 2)) == n_items((1, 2)) == 3  # 7 -> 6 usable
         rng = np.random.default_rng(9 + 0)
-        perm = rng.permutation(7).tolist()
-        assert sorted(perm[0::2] + perm[1::2]) == list(range(7))
+        perm = rng.permutation(7).tolist()[:6]
+        assert sorted(perm[0::2] + perm[1::2]) == sorted(perm)
 
     def test_loader_feeds_train_step(self, dataset_root):
         """End-to-end: one optimizer step on a real loaded batch."""
