@@ -155,15 +155,18 @@ _ENABLE_FUSED_GLOBAL = True
 @contextlib.contextmanager
 def force_fused(value):
     """Scope the fused-kernel gate override (trace-time): True/False force
-    the gate, None restores backend auto-detection.
+    the gate, None restores backend auto-detection, and an int N marks
+    the start of the differentiable tail (see _fused_gate).
 
     The first-party Pallas kernels are forward-only (no custom VJP);
-    training code traces under force_fused(False) so autodiff sees the
-    module path — the flax modules and jax's flash-attention kernel
-    (which does define a VJP) — while inference keeps the fused kernels.
-    The param trees of both paths are identical
-    (tests/test_pallas_kernels.py fused-flag tree parity), so params
-    train on the module path and serve on the fused path unchanged.
+    training code traces the DIFFERENTIATED region on the module path —
+    the flax modules and jax's flash-attention kernel (which does define
+    a VJP) — while inference keeps the fused kernels. The param trees of
+    both paths are identical (tests/test_pallas_kernels.py fused-flag
+    tree parity), so params train on the module path and serve on the
+    fused path unchanged. The selective train step
+    (train/train_step.py) passes the int form so the frozen trunk prefix
+    still rides the fused kernels during fine-tuning.
     """
     global _FORCE_FUSED
     old = _FORCE_FUSED
@@ -172,6 +175,28 @@ def force_fused(value):
         yield
     finally:
         _FORCE_FUSED = old
+
+
+def _fused_gate(block_index=None) -> bool:
+    """Resolve the fused-kernel gate for one call site.
+
+    _FORCE_FUSED is None → backend auto-detection; True/False → forced.
+    An int N (set by the selective train step) means the differentiable
+    tail starts at trunk block N: call sites with block_index < N keep
+    backend auto-detection — they are forward-only under the split
+    value_and_grad (no tangents reach them, so the VJP-less Pallas
+    kernels never get differentiated) — while blocks ≥ N and every
+    non-trunk kernel site (block_index None, e.g. the refinement head)
+    take the module path so autodiff works.
+    """
+    f = _FORCE_FUSED
+    if f is None:
+        return jax.default_backend() == "tpu"
+    if isinstance(f, bool):
+        return f
+    if block_index is not None and 0 <= block_index < f:
+        return jax.default_backend() == "tpu"
+    return False
 
 FLASH_MIN_SEQ = 2048
 
@@ -333,6 +358,10 @@ class MultiScaleBlock(nn.Module):
     # LN/reshape/einsum chain. Parameters are shared with the module path
     # (same names/shapes/inits), so this is purely an execution choice.
     fused_window_attn: bool = False
+    # Position in the trunk (0-based), for the selective-training fused
+    # gate (_fused_gate int cutoff); -1 ⇒ standalone block, treated as
+    # part of the differentiable tail whenever a cutoff is active.
+    block_index: int = -1
 
     def _norm(self, true_dim: int, name: str):
         return TrunkLayerNorm(
@@ -342,11 +371,7 @@ class MultiScaleBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         true_out = self.true_dim_out or self.dim_out
-        on_tpu = (
-            _FORCE_FUSED
-            if _FORCE_FUSED is not None
-            else jax.default_backend() == "tpu"
-        )
+        on_tpu = _fused_gate(self.block_index if self.block_index >= 0 else None)
         use_fused_attn = (
             self.fused_window_attn
             and not self.q_stride
@@ -698,6 +723,7 @@ class Hiera(nn.Module):
                     true_dim=true_dim if pm else 0,
                     true_dim_out=true_dim_out if pm else 0,
                     mlp_hidden=_rup(int(true_dim_out * 4.0), pm) if pm else 0,
+                    block_index=i,
                     name=f"blocks_{i}",
                 )(x)
             dim = dim_out

@@ -99,12 +99,10 @@ class MultiKernelRefinement(nn.Module):
         from . import hiera as _hiera
 
         # Respect the trace-time fused-gate override (hiera.force_fused):
-        # the kernel is forward-only, so training traces the conv path.
-        _on_tpu = (
-            _hiera._FORCE_FUSED
-            if _hiera._FORCE_FUSED is not None
-            else jax.default_backend() == "tpu"
-        )
+        # the kernel is forward-only, so training traces the conv path —
+        # including under the selective-training int cutoff, where every
+        # non-trunk kernel site is part of the differentiable tail.
+        _on_tpu = _hiera._fused_gate(None)
         fused_ok = (
             self.use_fused
             and tuple(self.kernel_sizes) == (3, 5, 7, 11)

@@ -19,6 +19,7 @@ import re
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 
 import optax
 
@@ -79,10 +80,52 @@ def make_optimizer(
     return tx, mask
 
 
-def make_train_step(model, tx, cfg: Optional[TrainConfig] = None):
+def _trunk_diff_cutoff(mask: dict) -> int:
+    """First trunk block index the backward pass must reach.
+
+    Gradients for a trunk block's parameters need VJPs for that block
+    and every block AFTER it (the loss-to-block path), but nothing
+    before it — blocks upstream of the earliest trainable block stay
+    forward-only. Returns min(trainable trunk block index), or a
+    sentinel past the deepest block when no trunk parameter trains
+    (the whole trunk then keeps the fused inference kernels)."""
+    cutoff = 1 << 30
+    for path, m in jax.tree_util.tree_flatten_with_path(mask)[0]:
+        if not m:
+            continue
+        key = "/".join(str(getattr(p, "key", p)) for p in path)
+        hit = re.search(r"trunk/blocks_(\d+)/", key)
+        if hit:
+            cutoff = min(cutoff, int(hit.group(1)))
+    return cutoff
+
+
+def make_train_step(
+    model, tx, cfg: Optional[TrainConfig] = None, mask: Optional[dict] = None,
+    selective: bool = True,
+):
     """Returns train_step(params, opt_state, images, masks) →
     (params, opt_state, metrics). jit/shard externally with the desired
-    in_shardings (see parallel.mesh and __graft_entry__.dryrun_multichip)."""
+    in_shardings (see parallel.mesh and __graft_entry__.dryrun_multichip).
+
+    selective=True (default) differentiates ONLY the trainable leaves
+    (`mask`, defaulting to the reference LoRA-parity surface): the frozen
+    parameters enter the loss as non-differentiated arguments, so
+
+      * no activation is stored for the frozen trunk prefix — at the L
+        scale (1024² input, 44 frozen blocks) this is the difference
+        between fitting on one 16 GB v5e chip and not;
+      * the frozen prefix keeps the fused inference Pallas kernels
+        (forward-only; hiera._fused_gate int cutoff), so the fine-tune
+        step runs at near-inference speed instead of the module path's.
+
+    The computed gradients are identical to the full value_and_grad's on
+    the trainable leaves (tests/test_parallel_train.py::TestSelectiveGrad);
+    frozen leaves get zeros, which the masked optimizer ignored anyway.
+
+    `mask` must match the mask the optimizer was built with (make_optimizer
+    returns it); selective=False restores the round-3 whole-tree autodiff.
+    """
     cfg = cfg or TrainConfig()
 
     def loss_fn(params: Any, images: jax.Array, masks: jax.Array):
@@ -93,13 +136,42 @@ def make_train_step(model, tx, cfg: Optional[TrainConfig] = None):
     def train_step(params, opt_state, images, masks):
         from ..models.sam2 import hiera
 
-        # The first-party Pallas kernels are inference-only (no VJP);
-        # trace the forward on the module path so autodiff works on TPU.
-        # Both paths share one param tree, so the trained params serve
-        # on the fused path unchanged (hiera.force_fused docstring).
-        with hiera.force_fused(False):
-            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, images, masks
+        if not selective:
+            # Whole-tree autodiff: every Pallas call sits on a
+            # differentiated path, so the entire trace takes the module
+            # path (the kernels are forward-only, no custom VJP).
+            with hiera.force_fused(False):
+                (loss, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params, images, masks)
+        else:
+            m = trainable_mask(params) if mask is None else mask
+            flat_params, treedef = jax.tree_util.tree_flatten(params)
+            flat_mask = jax.tree_util.tree_leaves(m)
+            train_leaves = [p for p, t in zip(flat_params, flat_mask) if t]
+            frozen_leaves = [p for p, t in zip(flat_params, flat_mask) if not t]
+
+            def split_loss_fn(train_leaves, frozen_leaves, images, masks):
+                ti, fi = iter(train_leaves), iter(frozen_leaves)
+                merged = [next(ti) if t else next(fi) for t in flat_mask]
+                return loss_fn(
+                    jax.tree_util.tree_unflatten(treedef, merged), images, masks
+                )
+
+            # Module path only from the earliest trainable trunk block on
+            # (and for non-trunk kernel sites); the frozen prefix keeps
+            # the fused kernels.
+            with hiera.force_fused(_trunk_diff_cutoff(m)):
+                (loss, metrics), gtrain = jax.value_and_grad(
+                    split_loss_fn, has_aux=True
+                )(train_leaves, frozen_leaves, images, masks)
+            gi = iter(gtrain)
+            grads = jax.tree_util.tree_unflatten(
+                treedef,
+                [
+                    next(gi) if t else jnp.zeros_like(p)
+                    for p, t in zip(flat_params, flat_mask)
+                ],
             )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

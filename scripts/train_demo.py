@@ -167,7 +167,7 @@ def main():
         batch_sh = NamedSharding(mesh, PartitionSpec("data"))
         repl = NamedSharding(mesh, PartitionSpec())
         step = jax.jit(
-            make_train_step(model, tx, tcfg),
+            make_train_step(model, tx, tcfg, mask=mask),
             in_shardings=(param_sh, opt_sh, batch_sh, batch_sh),
             out_shardings=(param_sh, opt_sh, repl),
         )
@@ -176,7 +176,7 @@ def main():
         print(f"distributed: {jax.process_count()} process(es), "
               f"mesh {dict(mesh.shape)}")
     else:
-        step = jax.jit(make_train_step(model, tx, tcfg))
+        step = jax.jit(make_train_step(model, tx, tcfg, mask=mask))
 
     start_step = 0
     if args.ckpt_dir:

@@ -190,6 +190,183 @@ class TestTrainStepDifferentiable:
         assert out[2]["loss"].shape == ()
 
 
+def _tiny_cfg():
+    from circuitvision_tpu.core.config import SAM2Config
+
+    return SAM2Config(
+        resolution=64,
+        embed_dim=16,
+        num_heads=2,
+        stages=(1, 1, 1, 1),
+        global_att_blocks=(2,),
+        window_spec=(4, 2, 4, 2),
+        backbone_channel_list=(128, 64, 32, 16),
+        decoder_mlp_dim=32,
+    )
+
+
+class TestSelectiveGrad:
+    """make_train_step(selective=True) differentiates only the trainable
+    leaves: frozen params enter the loss as non-differentiated arguments
+    (no stored activations for the frozen trunk prefix, fused inference
+    kernels kept there via the hiera._fused_gate int cutoff)."""
+
+    def _setup(self, mask=None):
+        import optax
+
+        from circuitvision_tpu.models.sam2.wrapper import (
+            SAM2ImageSegmenter,
+            init_params,
+        )
+        from circuitvision_tpu.train.train_step import trainable_mask
+
+        cfg = _tiny_cfg()
+        model = SAM2ImageSegmenter(cfg=cfg)
+        variables = init_params(model, jax.random.PRNGKey(0))
+        m = trainable_mask(variables) if mask is None else mask
+        # SGD so post-step params are params - lr*grad exactly: comparing
+        # params compares gradients (adam would amplify near-zero-grad
+        # roundoff into visible sign flips). Frozen leaves route to
+        # set_to_zero like make_optimizer — optax.masked would pass the
+        # raw frozen grads through as updates, which differ by design
+        # between the two paths (selective computes zeros there).
+        labels = jax.tree.map(lambda t: "train" if t else "freeze", m)
+        tx = optax.multi_transform(
+            {"train": optax.sgd(0.1), "freeze": optax.set_to_zero()},
+            param_labels=labels,
+        )
+        rng = np.random.default_rng(1)
+        images = jnp.asarray(rng.random((2, 64, 64, 3), np.float32))
+        targets = jnp.asarray((rng.random((2, 64, 64)) > 0.7).astype(np.float32))
+        return model, variables, m, tx, images, targets
+
+    def test_selective_matches_whole_tree_grads(self):
+        """On CPU both paths trace identical module-path forwards, so the
+        selective split must reproduce the whole-tree gradients bitwise
+        on every trainable leaf (frozen leaves: zeros, params frozen)."""
+        import jax.tree_util as jtu
+
+        from circuitvision_tpu.core.config import TrainConfig
+        from circuitvision_tpu.train.train_step import make_train_step
+
+        model, variables, m, tx, images, targets = self._setup()
+        opt_state = tx.init(variables)
+        sel = jax.jit(
+            make_train_step(model, tx, TrainConfig(), mask=m, selective=True)
+        )
+        full = jax.jit(
+            make_train_step(model, tx, TrainConfig(), mask=m, selective=False)
+        )
+        p_sel, _, met_sel = sel(variables, opt_state, images, targets)
+        p_full, _, met_full = full(variables, opt_state, images, targets)
+        np.testing.assert_array_equal(
+            np.asarray(met_sel["loss"]), np.asarray(met_full["loss"])
+        )
+        for (path, a), (_, b) in zip(
+            jtu.tree_leaves_with_path(p_sel), jtu.tree_leaves_with_path(p_full)
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"selective/full divergence at {jtu.keystr(path)}",
+            )
+
+    def test_all_true_mask_trains_everything(self):
+        """train_demo --surface all passes an all-True mask; the selective
+        path must then differentiate the whole tree (cutoff 0), not
+        silently fall back to the reference surface."""
+        import jax.tree_util as jtu
+
+        from circuitvision_tpu.core.config import TrainConfig
+        from circuitvision_tpu.train.train_step import make_train_step
+
+        all_true = None
+        model, variables, _, _, images, targets = self._setup()
+        all_true = jax.tree.map(lambda _: True, variables)
+        import optax
+
+        tx = optax.masked(optax.sgd(0.1), all_true)
+        opt_state = tx.init(variables)
+        step = jax.jit(
+            make_train_step(
+                model, tx, TrainConfig(), mask=all_true, selective=True
+            )
+        )
+        new_vars, _, metrics = step(variables, opt_state, images, targets)
+        assert np.isfinite(float(metrics["loss"]))
+        # A leaf OUTSIDE the reference surface must move: patch embed.
+        old = variables["params"]["trunk"]["patch_embed_proj"]["kernel"]
+        new = new_vars["params"]["trunk"]["patch_embed_proj"]["kernel"]
+        assert not np.array_equal(np.asarray(old), np.asarray(new))
+
+    def test_trunk_diff_cutoff(self):
+        from circuitvision_tpu.train.train_step import _trunk_diff_cutoff
+
+        mask = {
+            "params": {
+                "dense_embedding1": True,
+                "trunk": {
+                    "blocks_44": {"attn": {"qkv": {"kernel": True}}},
+                    "blocks_47": {"mlp": {"layers_0": {"kernel": True}}},
+                    "blocks_0": {"attn": {"qkv": {"kernel": False}}},
+                },
+            }
+        }
+        assert _trunk_diff_cutoff(mask) == 44
+        no_trunk = {"params": {"dense_embedding1": True,
+                               "trunk": {"blocks_3": {"w": False}}}}
+        assert _trunk_diff_cutoff(no_trunk) == 1 << 30
+        all_on = jax.tree.map(lambda _: True, mask)
+        assert _trunk_diff_cutoff(all_on) == 0
+
+    def test_fused_gate_int_semantics(self):
+        """Int cutoff N: trunk blocks < N keep backend auto-detection,
+        blocks >= N and non-trunk sites (block_index None) take the
+        module path."""
+        from unittest import mock
+
+        from circuitvision_tpu.models.sam2 import hiera
+
+        with mock.patch.object(hiera.jax, "default_backend",
+                               return_value="tpu"):
+            with hiera.force_fused(44):
+                assert hiera._fused_gate(0) is True
+                assert hiera._fused_gate(43) is True
+                assert hiera._fused_gate(44) is False
+                assert hiera._fused_gate(100) is False
+                assert hiera._fused_gate(None) is False
+            with hiera.force_fused(None):
+                assert hiera._fused_gate(0) is True
+                assert hiera._fused_gate(None) is True
+            with hiera.force_fused(False):
+                assert hiera._fused_gate(0) is False
+            with hiera.force_fused(True):
+                assert hiera._fused_gate(None) is True
+        # CPU backend: int cutoff never turns kernels on.
+        with hiera.force_fused(44):
+            assert hiera._fused_gate(0) is False
+
+    def test_selective_traces_fused_prefix_forward_only(self):
+        """THE regression this feature exists for: on TPU, the frozen
+        trunk prefix keeps the forward-only fused Pallas kernels during
+        fine-tuning. Emulate the TPU gate on CPU (mock backend) and
+        abstractly trace the selective step — linearization must never
+        reach the VJP-less kernels. With the reference mask on the tiny
+        config no trunk block trains, so the WHOLE trunk stays fused."""
+        from unittest import mock
+
+        from circuitvision_tpu.core.config import TrainConfig
+        from circuitvision_tpu.models.sam2 import hiera
+        from circuitvision_tpu.train.train_step import make_train_step
+
+        model, variables, m, tx, images, targets = self._setup()
+        opt_state = tx.init(variables)
+        step = make_train_step(model, tx, TrainConfig(), mask=m, selective=True)
+        with mock.patch.object(hiera.jax, "default_backend",
+                               return_value="tpu"):
+            out = jax.eval_shape(step, variables, opt_state, images, targets)
+        assert out[2]["loss"].shape == ()
+
+
 class TestFrozenParamsStayFrozen:
     def test_two_steps_only_move_trainable_surface(self):
         """make_optimizer must hard-freeze the non-trainable leaves.
