@@ -235,17 +235,31 @@ def default_client() -> Optional[VLMClient]:
     CIRCUITVISION_VLM=paligemma:<orbax_ckpt_dir> selects the on-device
     PaliGemma head (models/paligemma) instead of an HTTP client —
     weights converted via
-    `python -m circuitvision_tpu.models.checkpoint convert-paligemma`."""
+    `python -m circuitvision_tpu.models.checkpoint convert-paligemma`.
+    A trailing ':int8' (paligemma:<dir>:int8) quantizes the decode path
+    weight-only at load (models/paligemma/quant.py) — ~half the per-step
+    HBM parameter read."""
     spec = os.getenv("CIRCUITVISION_VLM", "")
     if spec.startswith("paligemma:"):
         try:
+            import dataclasses
+
             from ..models.checkpoint import load_variables
             from ..models.paligemma import PaliGemmaConfig, PaliGemmaValueReader
 
-            return PaliGemmaValueReader(
-                cfg=PaliGemmaConfig(),
-                variables=load_variables(spec.split(":", 1)[1]),
-            )
+            rest = spec.split(":", 1)[1]
+            quant = rest.endswith(":int8")
+            ckpt = rest[: -len(":int8")] if quant else rest
+            cfg = PaliGemmaConfig()
+            variables = load_variables(ckpt)
+            if quant:
+                from ..models.paligemma import quantize_variables
+
+                cfg = dataclasses.replace(
+                    cfg, text=dataclasses.replace(cfg.text, quant_int8=True)
+                )
+                variables = quantize_variables(variables)
+            return PaliGemmaValueReader(cfg=cfg, variables=variables)
         except Exception:
             logger.exception("CIRCUITVISION_VLM=%s failed; falling back", spec)
     if os.getenv("GEMINI_API_KEY"):

@@ -9,6 +9,7 @@ pipeline in place of the external Gemini stage-2 call
 from .config import GemmaTextConfig, PaliGemmaConfig, SiglipVisionConfig, tiny_config
 from .convert import convert_hf_state, torch_state_to_numpy
 from .model import GenerateResult, PaliGemma, greedy_generate
+from .quant import quantize_variables
 from .reader import ByteTokenizer, PaliGemmaValueReader
 
 __all__ = [
@@ -21,6 +22,7 @@ __all__ = [
     "SiglipVisionConfig",
     "convert_hf_state",
     "greedy_generate",
+    "quantize_variables",
     "tiny_config",
     "torch_state_to_numpy",
 ]

@@ -49,6 +49,10 @@ class GemmaTextConfig:
     rms_norm_eps: float = 1e-6
     rope_theta: float = 10000.0
     max_position_embeddings: int = 8192
+    # Weight-only int8 for the decoder projections and the (tied)
+    # embedding/LM-head: halves the per-step HBM parameter read that
+    # bounds decode throughput. Build params with quant.quantize_variables.
+    quant_int8: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -28,6 +28,43 @@ from flax import linen as nn
 from .config import GemmaTextConfig
 
 
+class QuantDense(nn.Module):
+    """Weight-only int8 linear: y = (x @ kernel_q) * scale.
+
+    The decode loop is bandwidth-bound reading the parameters every step
+    (PERF.md: batching is nearly free because the 2.5 B decoder params
+    dominate); int8 storage halves that HBM traffic vs bf16. Per-output-
+    channel scales; the scale multiply runs AFTER the dot (mathematically
+    identical to scaling the kernel, and exact when the scale is a power
+    of two), so XLA reads the int8 kernel directly into the matmul with
+    a fused upcast instead of materializing a dequantized copy.
+    quantize_variables (quant.py) builds the (kernel_q, scale) pair from
+    a float checkpoint."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_dim = x.shape[-1]
+        kq = self.param(
+            "kernel_q",
+            lambda _key, shape: jnp.zeros(shape, jnp.int8),
+            (in_dim, self.features),
+        )
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        y = jnp.dot(x, kq.astype(self.dtype))
+        return (y.astype(jnp.float32) * scale).astype(self.dtype)
+
+
+def _dense_factory(quant: bool, dtype):
+    if quant:
+        return lambda feat, name: QuantDense(feat, dtype=dtype, name=name)
+    return lambda feat, name: nn.Dense(
+        feat, use_bias=False, dtype=dtype, name=name
+    )
+
+
 class RMSNorm(nn.Module):
     dim: int
     eps: float = 1e-6
@@ -83,9 +120,7 @@ class GemmaAttention(nn.Module):
         c = self.cfg
         b, s, _ = x.shape
         h, n_kv, hd = c.num_attention_heads, c.num_key_value_heads, c.head_dim
-        dense = lambda feat, name: nn.Dense(
-            feat, use_bias=False, dtype=self.dtype, name=name
-        )
+        dense = _dense_factory(c.quant_int8, self.dtype)
         q = dense(h * hd, "q_proj")(x).reshape(b, s, h, hd)
         k = dense(n_kv * hd, "k_proj")(x).reshape(b, s, n_kv, hd)
         v = dense(n_kv * hd, "v_proj")(x).reshape(b, s, n_kv, hd)
@@ -121,9 +156,7 @@ class GemmaDecoderLayer(nn.Module):
         )
         x = x + attn_out
         y = RMSNorm(c.hidden_size, c.rms_norm_eps, name="post_attention_layernorm")(x)
-        dense = lambda feat, name: nn.Dense(
-            feat, use_bias=False, dtype=self.dtype, name=name
-        )
+        dense = _dense_factory(c.quant_int8, self.dtype)
         gate = jax.nn.gelu(dense(c.intermediate_size, "gate_proj")(y), approximate=True)
         y = dense(c.hidden_size, "down_proj")(gate * dense(c.intermediate_size, "up_proj")(y))
         return x + y, k_cache, v_cache

@@ -34,6 +34,43 @@ from .gemma import GemmaDecoder, make_kv_cache
 from .vision import SiglipVisionTower
 
 
+class QuantEmbed(nn.Module):
+    """Weight-only int8 tied embedding / LM head (per-row scales).
+
+    lookup reads one row per token (dequant trivially); attend — the
+    (hidden @ E^T) LM-head matmul, by far the largest single per-step
+    parameter read at vocab 257k — streams the int8 table with a fused
+    upcast and applies the row scales to the logits after the dot
+    (exact when scales are powers of two)."""
+
+    num_embeddings: int
+    features: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.embedding_q = self.param(
+            "embedding_q",
+            lambda _key, shape: jnp.zeros(shape, jnp.int8),
+            (self.num_embeddings, self.features),
+        )
+        self.scale = self.param(
+            "scale", nn.initializers.ones, (self.num_embeddings,)
+        )
+
+    def __call__(self, ids: jax.Array) -> jax.Array:
+        rows = self.embedding_q[ids].astype(jnp.float32)
+        return (rows * self.scale[ids][..., None]).astype(self.dtype)
+
+    def attend(self, hidden: jax.Array) -> jax.Array:
+        # Same contraction form as flax nn.Embed.attend (jnp.dot against
+        # embedding.T) so the accumulation order — and therefore the
+        # power-of-two-scale exactness pin — matches the float path
+        # bitwise; XLA lowers the .T to dot dimension numbers, not a
+        # physical transpose.
+        logits = jnp.dot(hidden, self.embedding_q.astype(self.dtype).T)
+        return (logits.astype(jnp.float32) * self.scale).astype(self.dtype)
+
+
 class PaliGemma(nn.Module):
     cfg: PaliGemmaConfig
     dtype: Any = jnp.float32
@@ -45,10 +82,16 @@ class PaliGemma(nn.Module):
         )
         self.vision_tower = SiglipVisionTower(c.vision, dtype=self.dtype)
         self.projector = nn.Dense(c.projection_dim, dtype=self.dtype, name="projector")
-        self.embed_tokens = nn.Embed(
-            c.text.vocab_size, c.text.hidden_size, dtype=self.dtype,
-            name="embed_tokens",
-        )
+        if c.text.quant_int8:
+            self.embed_tokens = QuantEmbed(
+                c.text.vocab_size, c.text.hidden_size, dtype=self.dtype,
+                name="embed_tokens",
+            )
+        else:
+            self.embed_tokens = nn.Embed(
+                c.text.vocab_size, c.text.hidden_size, dtype=self.dtype,
+                name="embed_tokens",
+            )
         self.decoder = GemmaDecoder(c.text, dtype=self.dtype)
 
     def _logits(self, hidden: jax.Array) -> jax.Array:

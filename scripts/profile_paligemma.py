@@ -78,6 +78,21 @@ def main():
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
     variables = device_random_params(model, cfg)
 
+    if "--int8" in sys.argv:
+        import dataclasses
+
+        from circuitvision_tpu.models.paligemma.quant import (
+            quantize_variables_on_device,
+        )
+
+        variables = quantize_variables_on_device(variables)
+        jax.block_until_ready(variables)
+        cfg = dataclasses.replace(
+            cfg, text=dataclasses.replace(cfg.text, quant_int8=True)
+        )
+        model = PaliGemma(cfg, dtype=jnp.bfloat16)
+        print("int8 weight-only decode path (quant.py)")
+
     tok = ByteTokenizer(cfg)
     ids = (
         [cfg.image_token_id] * cfg.num_image_tokens

@@ -592,3 +592,156 @@ class TestDefaultClientSelection:
         monkeypatch.delenv("GEMINI_API_KEY", raising=False)
         monkeypatch.delenv("OPENROUTER_API_KEY", raising=False)
         assert default_client() is None
+
+    def test_int8_suffix_quantizes_at_load(self, pair, tmp_path, monkeypatch):
+        """CIRCUITVISION_VLM=paligemma:<ckpt>:int8 loads the float
+        checkpoint and serves the quantized decode path."""
+        from circuitvision_tpu.enrich.client import default_client
+        from circuitvision_tpu.models.checkpoint import save_variables
+        from circuitvision_tpu.models.paligemma.reader import PaliGemmaValueReader
+
+        _, _, variables = pair
+        ckpt = tmp_path / "pg"
+        save_variables(str(ckpt), variables)
+        monkeypatch.setenv("CIRCUITVISION_VLM", f"paligemma:{ckpt}:int8")
+        import circuitvision_tpu.models.paligemma as pg
+
+        monkeypatch.setattr(pg, "PaliGemmaConfig", lambda: TINY)
+        got = default_client()
+        assert isinstance(got, PaliGemmaValueReader)
+        assert got.cfg.text.quant_int8
+        q = got.variables["params"]["decoder"]["layer_0"]["self_attn"]["q_proj"]
+        assert set(q) == {"kernel_q", "scale"}
+        # and the quantized reader actually generates
+        out = got.generate([np.zeros((16, 16, 3), np.uint8)], "task")
+        assert len(out) == 1
+
+
+class TestInt8Quant:
+    """Weight-only int8 decode path (quant.quantize_variables +
+    QuantDense/QuantEmbed, gemma.py/model.py): the decoder projections
+    and the tied embedding store int8 + per-channel scales; scales apply
+    AFTER the dot, so a checkpoint whose weights are exactly
+    int8 × 2^-k must produce BITWISE-identical logits (power-of-two
+    scaling is lossless in floating point) — pinning the plumbing
+    independently of quantization rounding."""
+
+    @staticmethod
+    def _cfg_q():
+        import dataclasses
+
+        return dataclasses.replace(
+            TINY, text=dataclasses.replace(TINY.text, quant_int8=True)
+        )
+
+    @staticmethod
+    def _snap_pow2(variables):
+        """Round every quantization-targeted weight to int8 × 2^-5."""
+
+        def walk(tree, path=()):
+            out = {}
+            for k, v in tree.items():
+                if isinstance(v, dict):
+                    if (
+                        k in ("q_proj", "k_proj", "v_proj", "o_proj",
+                              "gate_proj", "up_proj", "down_proj")
+                        and "kernel" in v and "decoder" in path
+                    ):
+                        w = np.asarray(v["kernel"], np.float32)
+                        m = np.abs(w).max(0)
+                        q = np.clip(
+                            np.rint(np.divide(
+                                w * 127, m, out=np.zeros_like(w), where=m > 0
+                            )), -127, 127,
+                        )
+                        out[k] = {"kernel": jnp.asarray(q * 2.0**-5, jnp.float32)}
+                    elif k == "embed_tokens" and "embedding" in v:
+                        e = np.asarray(v["embedding"], np.float32)
+                        m = np.abs(e).max(1, keepdims=True)
+                        q = np.clip(
+                            np.rint(np.divide(
+                                e * 127, m, out=np.zeros_like(e), where=m > 0
+                            )), -127, 127,
+                        )
+                        out[k] = {"embedding": jnp.asarray(q * 2.0**-5, jnp.float32)}
+                    else:
+                        out[k] = walk(v, path + (k,))
+                else:
+                    out[k] = v
+            return out
+
+        return {"params": walk(variables["params"])}
+
+    def _prefill(self, model, variables, ids, px, extra=4):
+        b, s = ids.shape
+        k0, v0 = make_kv_cache(model.cfg.text, b, s + extra)
+        mask = jnp.ones((b, s), jnp.int32)
+        return model.apply(
+            variables, jnp.asarray(ids, jnp.int32), mask, k0, v0,
+            jnp.asarray(px), method=PaliGemma.prefill,
+        )
+
+    def test_pow2_checkpoint_is_bitwise_exact(self, pair):
+        from circuitvision_tpu.models.paligemma import quantize_variables
+
+        _, model, variables = pair
+        variables = self._snap_pow2(variables)
+        vq = quantize_variables(variables)
+        model_q = PaliGemma(self._cfg_q())
+        ids, px = _inputs()
+        lf, _, _ = self._prefill(model, variables, ids, px)
+        lq, _, _ = self._prefill(model_q, vq, ids, px)
+        np.testing.assert_array_equal(np.asarray(lf), np.asarray(lq))
+
+        gf = greedy_generate(
+            model, variables, jnp.asarray(ids, jnp.int32), jnp.asarray(px),
+            jnp.ones((ids.shape[0],), bool), 4,
+        )
+        gq = greedy_generate(
+            model_q, vq, jnp.asarray(ids, jnp.int32), jnp.asarray(px),
+            jnp.ones((ids.shape[0],), bool), 4,
+        )
+        np.testing.assert_array_equal(np.asarray(gf.tokens), np.asarray(gq.tokens))
+
+    def test_random_checkpoint_close(self, pair):
+        """Arbitrary float weights: per-channel int8 keeps prefill logits
+        within a small relative error of the float model."""
+        from circuitvision_tpu.models.paligemma import quantize_variables
+
+        _, model, variables = pair
+        vq = quantize_variables(variables)
+        model_q = PaliGemma(self._cfg_q())
+        ids, px = _inputs()
+        lf, _, _ = self._prefill(model, variables, ids, px)
+        lq, _, _ = self._prefill(model_q, vq, ids, px)
+        lf, lq = np.asarray(lf, np.float64), np.asarray(lq, np.float64)
+        denom = np.abs(lf).mean()
+        assert np.abs(lf - lq).max() / denom < 0.05, (
+            np.abs(lf - lq).max(), denom,
+        )
+
+    def test_vision_tower_stays_float(self, pair):
+        """The vision tower has same-named q/k/v/o modules; they must NOT
+        be quantized (prefill runs them once — compute-, not
+        bandwidth-bound)."""
+        from circuitvision_tpu.models.paligemma import quantize_variables
+
+        _, _, variables = pair
+        vq = quantize_variables(variables)
+        vt = vq["params"]["vision_tower"]
+        leaf_names = set()
+
+        def names(tree):
+            for k, v in tree.items():
+                if isinstance(v, dict):
+                    names(v)
+                else:
+                    leaf_names.add(k)
+
+        names(vt)
+        assert "kernel_q" not in leaf_names
+        # and the decoder IS quantized
+        dec = vq["params"]["decoder"]["layer_0"]["self_attn"]["q_proj"]
+        assert set(dec) == {"kernel_q", "scale"}
+        assert np.asarray(dec["kernel_q"]).dtype == np.int8
+        assert set(vq["params"]["embed_tokens"]) == {"embedding_q", "scale"}
