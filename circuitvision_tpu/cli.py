@@ -126,11 +126,18 @@ def _cmd_analyze_batch(args) -> int:
     import time
 
     if args.distributed:
+        if getattr(args, "final", False):
+            print("note: --final is not yet wired into --distributed; "
+                  "netlists will be valueless", file=sys.stderr)
         return _run_distributed(args, analyzer, paths)
 
     images = [load_image(p) for p in paths]
     t0 = time.time()
     results = analyzer.analyze_batch(images, batch_size=args.batch_size)
+    if args.final:
+        results = analyzer.finalize_netlists(
+            results, chunk_size=args.batch_size
+        )
     dt = time.time() - t0
 
     if args.out_dir:
@@ -293,6 +300,9 @@ def main(argv=None) -> int:
                     help="image paths, or a single directory of images")
     pb.add_argument("--out-dir", help="write per-image netlists here")
     pb.add_argument("--batch-size", type=int, default=None)
+    pb.add_argument("--final", action="store_true",
+                    help="run the VLM value pass, batched when the client "
+                    "supports it (on-TPU PaliGemma reader)")
     pb.add_argument("--scale", default="l", choices=list("nsmlx"))
     pb.add_argument("--det-size", type=int, default=640,
                     help="detector input size (smaller = faster CPU tests)")

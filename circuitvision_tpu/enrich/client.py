@@ -106,6 +106,13 @@ class FakeVLMClient:
         self.label_calls += 1
         return list(self.labels)
 
+    def get_labels_batch(self, enum_images_rgb) -> list[Optional[list[dict]]]:
+        """Batched stage-2 (optional protocol extension — the on-TPU
+        reader implements it as one device dispatch; HTTP clients omit it
+        and the pipeline falls back to per-image calls)."""
+        self.label_batch_calls = getattr(self, "label_batch_calls", 0) + 1
+        return [list(self.labels) for _ in enum_images_rgb]
+
     def get_direction(self, crop_rgb: np.ndarray, component_class: str):
         self.direction_calls.append(component_class)
         return self.directions.get(component_class, self.default_direction)

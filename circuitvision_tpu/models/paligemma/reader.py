@@ -152,6 +152,30 @@ class PaliGemmaValueReader:
         text = self.generate([enum_image_rgb], LABELS_TASK)[0]
         return parse_vlm_list(text)
 
+    def get_labels_batch(
+        self, enum_images_rgb: Sequence[np.ndarray]
+    ) -> list[Optional[list[dict]]]:
+        """Batched stage-2: ONE device dispatch for the whole batch (the
+        decode loop is parameter-read-bound, so batch 8 costs ~1.3× batch
+        1 — PERF.md), with per-image failure isolation: an unparseable
+        row yields None (the caller keeps that image's valueless netlist,
+        the same ladder as the per-image path)."""
+        import logging
+
+        from ...enrich.client import parse_vlm_list
+
+        texts = self.generate(list(enum_images_rgb), LABELS_TASK)
+        out: list[Optional[list[dict]]] = []
+        for i, text in enumerate(texts):
+            try:
+                out.append(parse_vlm_list(text))
+            except Exception as e:
+                logging.getLogger(__name__).warning(
+                    "stage-2 parse failed for image %d: %s", i, e
+                )
+                out.append(None)
+        return out
+
     def get_direction(
         self, crop_rgb: np.ndarray, component_class: str
     ) -> tuple[str, str]:

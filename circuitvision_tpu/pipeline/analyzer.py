@@ -26,7 +26,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import time
-from typing import Optional
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -401,6 +401,49 @@ class CircuitAnalyzerTPU:
             logger.error("VLM labeling failed: %s; keeping valueless netlist", e)
         result.timings.record("Final Netlist Generation", time.time() - t0)
         return result
+
+    def finalize_netlists(
+        self, results: Sequence[AnalysisResult], chunk_size: Optional[int] = None
+    ) -> list[AnalysisResult]:
+        """Batched twin of generate_final_netlist for the throughput path.
+
+        When the VLM client implements get_labels_batch (the on-TPU
+        PaliGemma reader: one greedy-decode device dispatch per chunk —
+        batching is nearly free because the decode loop is bound by the
+        parameter read, PERF.md), enumerated images are read in chunks;
+        otherwise falls back to the per-image call. Failure ladder per
+        image matches the reference (src/analysis_pipeline.py:368-371):
+        any VLM/parse failure keeps that image's valueless netlist."""
+        results = list(results)
+        batch_fn = getattr(self.vlm_client, "get_labels_batch", None)
+        if batch_fn is None:
+            return [self.generate_final_netlist(r) for r in results]
+        chunk = chunk_size or 8
+        idx = [i for i, r in enumerate(results) if r.enum_image is not None]
+        for i, r in enumerate(results):
+            if r.enum_image is None:
+                logger.warning(
+                    "no enum image for result %d; keeping valueless netlist", i
+                )
+        for base in range(0, len(idx), chunk):
+            sel = idx[base : base + chunk]
+            t0 = time.time()
+            try:
+                outs = batch_fn([results[i].enum_image for i in sel])
+            except Exception as e:
+                logger.error(
+                    "batched VLM labeling failed: %s; keeping valueless netlists", e
+                )
+                outs = [None] * len(sel)
+            dt = (time.time() - t0) / max(len(sel), 1)
+            for i, vlm_out in zip(sel, outs):
+                r = results[i]
+                if vlm_out is not None:
+                    r.vlm_stage2_output = vlm_out
+                    fix_netlist(r.netlist, vlm_out, r.enum_bboxes)
+                    r.netlist_text = stringify_netlist(r.netlist)
+                r.timings.record("Final Netlist Generation", dt)
+        return results
 
     def simulate(
         self,

@@ -745,3 +745,106 @@ class TestInt8Quant:
         assert set(dec) == {"kernel_q", "scale"}
         assert np.asarray(dec["kernel_q"]).dtype == np.int8
         assert set(vq["params"]["embed_tokens"]) == {"embedding_q", "scale"}
+
+
+class TestFinalizeNetlistsBatched:
+    """finalize_netlists (pipeline/analyzer.py): the batched stage-2 twin
+    of generate_final_netlist — one get_labels_batch dispatch per chunk,
+    per-image failure keeps that image's valueless netlist."""
+
+    def _analyzer_and_results(self, reader, n=3):
+        import copy
+
+        from circuitvision_tpu.core.config import DetectorConfig, PipelineConfig
+        from circuitvision_tpu.eval.synth import make_circuits
+        from circuitvision_tpu.pipeline.analyzer import CircuitAnalyzerTPU
+
+        analyzer = CircuitAnalyzerTPU(
+            config=PipelineConfig(
+                detector=DetectorConfig(scale="n", img_size=64, num_classes=62),
+                use_sam2=False,
+            ),
+            use_sam2=False,
+            vlm_client=reader,
+        )
+        # Oracle detections (same injection as __graft_entry__'s dryrun)
+        # so topology produces real nodes and an enumerated image.
+        circuit = make_circuits()[0]
+        analyzer.bboxes = lambda img: copy.deepcopy(circuit.boxes)
+        base = analyzer.analyze(circuit.image)
+        assert base.enum_image is not None
+        return analyzer, [copy.deepcopy(base) for _ in range(n)]
+
+    def _reader(self, decode_fn):
+        from circuitvision_tpu.models.paligemma.reader import PaliGemmaValueReader
+
+        model = PaliGemma(TINY)
+        ids = jnp.full((1, TINY.num_image_tokens + 2), 3, jnp.int32)
+        k0, v0 = make_kv_cache(TINY.text, 1, ids.shape[1])
+        px = jnp.zeros((1, TINY.vision.image_size, TINY.vision.image_size, 3))
+        variables = PaliGemma(TINY).init(
+            jax.random.PRNGKey(0), ids, jnp.ones_like(ids), k0, v0, px,
+            method=PaliGemma.prefill,
+        )
+        return PaliGemmaValueReader(
+            cfg=TINY, variables=variables, max_new_tokens=4, decode_fn=decode_fn,
+        )
+
+    def test_batched_equals_per_image(self):
+        """Same netlist text from finalize_netlists as from the per-image
+        generate_final_netlist loop (deterministic canned decode)."""
+        import copy
+
+        canned = "[{'id': '1', 'class': 'voltage.dc', 'value': '10'}]"
+        reader = self._reader(lambda _ids: canned)
+        analyzer, results = self._analyzer_and_results(reader)
+        if results[0].enum_image is None:
+            pytest.skip("no enum image on the synthetic circuit")
+        per_image = [
+            analyzer.generate_final_netlist(copy.deepcopy(r)) for r in results
+        ]
+        batched = analyzer.finalize_netlists(results, chunk_size=2)
+        for a, b in zip(per_image, batched):
+            assert a.netlist_text == b.netlist_text
+            assert a.vlm_stage2_output == b.vlm_stage2_output
+
+    def test_parse_failure_keeps_valueless(self):
+        reader = self._reader(lambda _ids: "not a list at all {{{")
+        analyzer, results = self._analyzer_and_results(reader, n=2)
+        before = [r.netlist_text for r in results]
+        out = analyzer.finalize_netlists(results)
+        assert [r.netlist_text for r in out] == before
+
+    def test_fallback_without_batch_method(self):
+        """A client without get_labels_batch (the HTTP clients) routes
+        through the per-image generate_final_netlist path."""
+
+        class MinimalClient:
+            def __init__(self):
+                self.calls = 0
+
+            def get_labels(self, img):
+                self.calls += 1
+                return [{"id": "1", "class": "resistor", "value": "5"}]
+
+            def get_direction(self, crop, cls):
+                return ("UNKNOWN", "UNKNOWN")
+
+        client = MinimalClient()
+        analyzer, results = self._analyzer_and_results(client, n=2)
+        out = analyzer.finalize_netlists(results)
+        if results[0].enum_image is not None:
+            assert client.calls == 2
+            assert all(r.netlist_text is not None for r in out)
+
+    def test_fake_client_batch_path_used(self):
+        from circuitvision_tpu.enrich.client import FakeVLMClient
+
+        client = FakeVLMClient(
+            labels=[{"id": "1", "class": "resistor", "value": "2k"}]
+        )
+        analyzer, results = self._analyzer_and_results(client, n=3)
+        analyzer.finalize_netlists(results, chunk_size=2)
+        if results[0].enum_image is not None:
+            assert getattr(client, "label_batch_calls", 0) == 2  # ceil(3/2)
+            assert client.label_calls == 0
