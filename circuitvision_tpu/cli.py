@@ -126,9 +126,6 @@ def _cmd_analyze_batch(args) -> int:
     import time
 
     if args.distributed:
-        if getattr(args, "final", False):
-            print("note: --final is not yet wired into --distributed; "
-                  "netlists will be valueless", file=sys.stderr)
         return _run_distributed(args, analyzer, paths)
 
     images = [load_image(p) for p in paths]
@@ -188,7 +185,8 @@ def _run_distributed(args, analyzer, paths) -> int:
 
     t0 = time.time()
     local_results, netlists = multihost.analyze_many_distributed(
-        analyzer, _LazyImages(paths), batch_size=args.batch_size
+        analyzer, _LazyImages(paths), batch_size=args.batch_size,
+        final=getattr(args, "final", False),
     )
     dt = time.time() - t0
 

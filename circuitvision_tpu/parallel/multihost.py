@@ -218,6 +218,7 @@ def analyze_many_distributed(
     images: Sequence[np.ndarray],
     batch_size: Optional[int] = None,
     prefetch: int = 2,
+    final: bool = False,
 ):
     """Pure-DP multi-host inference over a global image list.
 
@@ -246,6 +247,13 @@ def analyze_many_distributed(
     local_results = pipe.analyze_many(
         [images[i] for i in span], prefetch=prefetch
     )
+    if final:
+        # VLM stage-2 per host over its OWN span (the on-TPU reader runs
+        # on this host's chips; HTTP clients fan out per host) — still
+        # no cross-host collectives, DCN carries only the final text.
+        local_results = analyzer.finalize_netlists(
+            local_results, chunk_size=batch_size
+        )
     payload = json.dumps(
         [
             {"netlist": r.netlist_text, "valueless": r.valueless_netlist_text}

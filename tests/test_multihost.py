@@ -220,3 +220,44 @@ class TestSingleProcessDegradation:
         assert multihost.balanced_span(5) == range(0, 5)
         assert multihost.gather_bytes(b"abc") == [b"abc"]
         multihost.sync()  # no-op
+
+    def test_analyze_distributed_final_single_process(self):
+        """final=True single-process: each host finalizes its own span —
+        degraded to one process, the gathered netlists must carry the
+        VLM-merged values (batched stage-2 via FakeVLMClient)."""
+        import copy
+
+        from circuitvision_tpu.core.config import DetectorConfig, PipelineConfig
+        from circuitvision_tpu.enrich.client import FakeVLMClient
+        from circuitvision_tpu.eval.synth import make_circuits
+        from circuitvision_tpu.parallel import multihost
+        from circuitvision_tpu.pipeline.analyzer import CircuitAnalyzerTPU
+        from circuitvision_tpu.pipeline.batch import BatchedPipeline
+
+        client = FakeVLMClient(
+            labels=[{"id": "1", "class": "voltage.dc", "value": "9"}]
+        )
+        analyzer = CircuitAnalyzerTPU(
+            config=PipelineConfig(
+                detector=DetectorConfig(scale="n", img_size=64, dtype="float32"),
+                use_sam2=False,
+            ),
+            use_sam2=False,
+            vlm_client=client,
+        )
+        c = make_circuits()[0]
+        orig = BatchedPipeline._detect_bboxes
+        BatchedPipeline._detect_bboxes = lambda self, chunk: [
+            copy.deepcopy(c.boxes) for _ in chunk
+        ]
+        try:
+            _local, netlists = multihost.analyze_many_distributed(
+                analyzer, [c.image, c.image], batch_size=8, final=True
+            )
+        finally:
+            BatchedPipeline._detect_bboxes = orig
+        assert len(netlists) == 2
+        for net in netlists:
+            assert " 9" in net["netlist"]  # VLM value merged
+            assert net["netlist"] != net["valueless"]
+        assert getattr(client, "label_batch_calls", 0) >= 1
