@@ -249,6 +249,7 @@ def _cmd_serve_batch(args) -> int:
         port=args.port,
         batch_size=args.batch_size,
         max_wait_ms=args.max_wait_ms,
+        final=args.final,
     )
     return 0
 
@@ -336,6 +337,8 @@ def main(argv=None) -> int:
     pp.add_argument("--max-wait-ms", type=float, default=25.0,
                     help="flush a non-full batch once its oldest request "
                     "has waited this long")
+    pp.add_argument("--final", action="store_true",
+                    help="run the batched VLM value pass per served batch")
     pp.add_argument("--scale", default="l", choices=list("nsmlx"))
     pp.add_argument("--det-size", type=int, default=640)
     pp.add_argument("--yolo-checkpoint")

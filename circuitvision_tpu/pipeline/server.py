@@ -121,9 +121,14 @@ class BatchingExecutor:
         pipeline: BatchedPipeline,
         max_wait_ms: float = 25.0,
         queue_depth: int = 256,
+        final: bool = False,
     ):
         self.pipeline = pipeline
         self.max_wait_ms = float(max_wait_ms)
+        #: run the batched VLM stage-2 value pass per served batch
+        #: (analyzer.finalize_netlists — one decode dispatch per batch
+        #: with the on-TPU reader)
+        self.final = bool(final)
         self._requests: "queue.Queue" = queue.Queue(maxsize=queue_depth)
         self._stats = _Stats()
         self._closed = False
@@ -251,8 +256,16 @@ class BatchingExecutor:
                 self.pipeline._materialize_masks(staged)
                 results = [self.pipeline._pre_topology(st) for st in staged]
                 self.pipeline._extract_nodes_chunk(staged, results)
-                for req, st, res in zip(batch, staged, results):
-                    req.future.set_result(self.pipeline._post_topology(st, res))
+                results = [
+                    self.pipeline._post_topology(st, res)
+                    for st, res in zip(staged, results)
+                ]
+                if self.final:
+                    results = self.pipeline.analyzer.finalize_netlists(
+                        results, chunk_size=len(results)
+                    )
+                for req, res in zip(batch, results):
+                    req.future.set_result(res)
                     self._stats.record_done(req.t_submit, ok=True)
             except Exception as e:
                 self._fail(batch, e)
@@ -325,10 +338,11 @@ def serve(
     port: int = 8600,
     batch_size: Optional[int] = None,
     max_wait_ms: float = 25.0,
+    final: bool = False,
 ) -> None:
     """Start the micro-batching server (blocks)."""
     pipeline = BatchedPipeline(analyzer, batch_size=batch_size)
-    with BatchingExecutor(pipeline, max_wait_ms=max_wait_ms) as ex:
+    with BatchingExecutor(pipeline, max_wait_ms=max_wait_ms, final=final) as ex:
         server = make_server(ex, port=port)
         logger.info("serving on :%d (batch=%d, max_wait=%.0fms)",
                     port, pipeline.batch_size, max_wait_ms)

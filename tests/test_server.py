@@ -175,3 +175,28 @@ class TestHTTPServer:
             finally:
                 server.shutdown()
                 t.join(timeout=30)
+
+
+class TestServedFinalPass:
+    def test_final_executor_merges_values(self, analyzer, monkeypatch):
+        """BatchingExecutor(final=True) runs the batched stage-2 per served
+        batch: served netlists carry VLM values and equal the offline
+        analyze_batch → finalize_netlists path."""
+        analyzer.vlm_client.labels = [
+            {"id": "1", "class": "voltage.dc", "value": "12"}
+        ]
+        try:
+            _inject_detections(monkeypatch, analyzer)
+            pipe = BatchedPipeline(analyzer, mesh=_cpu_mesh(2), batch_size=4)
+            imgs = [golden_image()[0], loop_image()[0], golden_image()[0], loop_image()[0]]
+
+            offline = analyzer.finalize_netlists(
+                pipe.analyze_many([copy.deepcopy(i) for i in imgs]), chunk_size=4
+            )
+            with BatchingExecutor(pipe, max_wait_ms=50.0, final=True) as ex:
+                served = ex.map([copy.deepcopy(i) for i in imgs])
+            for a, b in zip(served, offline):
+                assert a.netlist_text == b.netlist_text
+                assert "12" in a.netlist_text  # value actually merged
+        finally:
+            analyzer.vlm_client.labels = []
