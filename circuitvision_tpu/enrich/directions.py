@@ -68,6 +68,22 @@ def enrich_directions(
     if not jobs:
         return out
 
+    # Batched path: one device dispatch for ALL eligible crops of the
+    # image (the on-TPU reader's decode loop is parameter-read-bound, so
+    # batching is nearly free — a 166 ms batch-1 call per component would
+    # otherwise dominate the pipeline). HTTP clients lack the method and
+    # keep the concurrent per-crop dispatch below.
+    batch_fn = getattr(client, "get_directions_batch", None)
+    if batch_fn is not None:
+        try:
+            answers = batch_fn([c for _, c, _ in jobs], [k for _, _, k in jobs])
+        except Exception:
+            answers = [("UNKNOWN", "UNKNOWN")] * len(jobs)
+        for (i, _, _), (direction, reason) in zip(jobs, answers):
+            out[i].semantic_direction = direction
+            out[i].semantic_reason = reason
+        return out
+
     def run(job):
         i, crop, cls = job
         try:

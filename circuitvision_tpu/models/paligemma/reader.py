@@ -176,15 +176,30 @@ class PaliGemmaValueReader:
                 out.append(None)
         return out
 
-    def get_direction(
-        self, crop_rgb: np.ndarray, component_class: str
-    ) -> tuple[str, str]:
+    @staticmethod
+    def _parse_direction(text: str) -> tuple[str, str]:
         import re
 
-        text = self.generate([crop_rgb], DIRECTION_TASK)[0].upper()
+        text = text.upper()
         # first whole-word occurrence IN TEXT ORDER ("supply points DOWN"
         # must not match the UP inside SUPPLY)
         dm = re.search(r"\b(UP|DOWN|LEFT|RIGHT)\b", text)
         rm = re.search(r"\b(SIGN|ARROW)\b", text)
         return (dm.group(1) if dm else "UNKNOWN",
                 rm.group(1) if rm else "UNKNOWN")
+
+    def get_direction(
+        self, crop_rgb: np.ndarray, component_class: str
+    ) -> tuple[str, str]:
+        return self._parse_direction(self.generate([crop_rgb], DIRECTION_TASK)[0])
+
+    def get_directions_batch(
+        self, crops_rgb: Sequence[np.ndarray], component_classes: Sequence[str]
+    ) -> list[tuple[str, str]]:
+        """All of an image's eligible component crops in ONE greedy-decode
+        dispatch (enrich_directions batched path). The direction prompt is
+        class-independent (same task prefix for sources and diodes — as is
+        the per-image reference prompt pair's shared structure), so the
+        crops batch cleanly; per-crop parse failures yield UNKNOWN."""
+        texts = self.generate(list(crops_rgb), DIRECTION_TASK)
+        return [self._parse_direction(t) for t in texts]

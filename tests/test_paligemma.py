@@ -848,3 +848,60 @@ class TestFinalizeNetlistsBatched:
         if results[0].enum_image is not None:
             assert getattr(client, "label_batch_calls", 0) == 2  # ceil(3/2)
             assert client.label_calls == 0
+
+
+class TestBatchedDirections:
+    """get_directions_batch (reader) + the batched branch in
+    enrich_directions: all eligible crops of an image in ONE decode
+    dispatch, answers parsed per crop."""
+
+    def test_one_dispatch_for_all_components(self):
+        from circuitvision_tpu.core.config import EnrichConfig
+        from circuitvision_tpu.core.types import BBox
+        from circuitvision_tpu.enrich.directions import enrich_directions
+
+        reader = TestFinalizeNetlistsBatched()._reader(
+            lambda _ids: "THE PLUS TERMINAL POINTS UP (SIGN)"
+        )
+        calls = []
+        orig = reader.generate
+
+        def counting_generate(images, task):
+            calls.append(len(images))
+            return orig(images, task)
+
+        reader.generate = counting_generate
+        img = np.full((64, 64, 3), 255, np.uint8)
+        boxes = [
+            BBox(class_name="voltage.dc", xmin=5, ymin=5, xmax=20, ymax=25,
+                 confidence=0.9, persistent_uid="v1"),
+            BBox(class_name="diode", xmin=30, ymin=5, xmax=45, ymax=25,
+                 confidence=0.9, persistent_uid="d1"),
+            BBox(class_name="resistor", xmin=5, ymin=35, xmax=20, ymax=55,
+                 confidence=0.9, persistent_uid="r1"),
+        ]
+        out = enrich_directions(img, boxes, reader, EnrichConfig())
+        assert calls == [2]  # ONE dispatch, both eligible crops
+        assert out[0].semantic_direction == "UP"
+        assert out[0].semantic_reason == "SIGN"
+        assert out[1].semantic_direction == "UP"
+        assert out[2].semantic_direction is None  # resistor ineligible
+
+    def test_batch_failure_degrades_to_unknown(self):
+        from circuitvision_tpu.core.config import EnrichConfig
+        from circuitvision_tpu.core.types import BBox
+        from circuitvision_tpu.enrich.directions import enrich_directions
+
+        class Exploding:
+            def get_direction(self, crop, cls):
+                raise RuntimeError("unused — batch path taken")
+
+            def get_directions_batch(self, crops, classes):
+                raise RuntimeError("device fell over")
+
+        img = np.full((64, 64, 3), 255, np.uint8)
+        boxes = [BBox(class_name="voltage.dc", xmin=5, ymin=5, xmax=20,
+                      ymax=25, confidence=0.9, persistent_uid="v1")]
+        out = enrich_directions(img, boxes, Exploding(), EnrichConfig())
+        assert out[0].semantic_direction == "UNKNOWN"
+        assert out[0].semantic_reason == "UNKNOWN"
