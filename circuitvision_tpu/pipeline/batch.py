@@ -425,10 +425,9 @@ class BatchedPipeline:
         return staged
 
     def _pre_topology(self, st: _Staged) -> AnalysisResult:
-        """Stages [3]-[4] for one image: reclassify → enrich. Same
-        degradation ladders and logging as analyze() — no silent failures."""
-        from ..enrich.directions import enrich_directions
-
+        """Stage [3] for one image: reclassify. Same degradation ladders
+        and logging as analyze() — no silent failures. Stage [4]
+        (direction enrichment) runs per CHUNK in _enrich_chunk."""
         cfg = self.cfg
         result = AnalysisResult(
             original_image=st.image,
@@ -444,14 +443,30 @@ class BatchedPipeline:
         except Exception:
             logger.exception("terminal reclassification failed; continuing")
 
+        return result
+
+    def _enrich_chunk(
+        self, staged: Sequence[_Staged], results: Sequence[AnalysisResult]
+    ) -> None:
+        """Stage [4] for a whole chunk: ONE get_directions_batch dispatch
+        for every eligible crop of every image when the client batches
+        (the on-TPU reader — a per-image call would cost a full decode
+        dispatch each); per-image concurrent path otherwise
+        (enrich_directions_many)."""
+        from ..enrich.directions import enrich_directions_many
+
         try:
-            result.bboxes = enrich_directions(
-                st.crop, result.bboxes, self.analyzer.vlm_client, cfg.enrich,
-                debug_store=result.vlm_direction_crops,
+            enriched = enrich_directions_many(
+                [st.crop for st in staged],
+                [r.bboxes for r in results],
+                self.analyzer.vlm_client,
+                self.cfg.enrich,
+                debug_stores=[r.vlm_direction_crops for r in results],
             )
+            for r, boxes in zip(results, enriched):
+                r.bboxes = boxes
         except Exception:
             logger.exception("direction enrichment failed; continuing")
-        return result
 
     def _extract_nodes_chunk(
         self, staged: Sequence[_Staged], results: Sequence[AnalysisResult]
@@ -632,6 +647,7 @@ class BatchedPipeline:
                 raise item
             self._materialize_masks(item)
             chunk_results = [self._pre_topology(st) for st in item]
+            self._enrich_chunk(item, chunk_results)
             self._extract_nodes_chunk(item, chunk_results)
             for st, r in zip(item, chunk_results):
                 results.append(self._post_topology(st, r))

@@ -255,6 +255,7 @@ class BatchingExecutor:
             try:
                 self.pipeline._materialize_masks(staged)
                 results = [self.pipeline._pre_topology(st) for st in staged]
+                self.pipeline._enrich_chunk(staged, results)
                 self.pipeline._extract_nodes_chunk(staged, results)
                 results = [
                     self.pipeline._post_topology(st, res)

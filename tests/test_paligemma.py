@@ -905,3 +905,35 @@ class TestBatchedDirections:
         out = enrich_directions(img, boxes, Exploding(), EnrichConfig())
         assert out[0].semantic_direction == "UNKNOWN"
         assert out[0].semantic_reason == "UNKNOWN"
+
+    def test_chunk_level_single_dispatch(self):
+        """enrich_directions_many: eligible crops of SEVERAL images in one
+        dispatch (the chunked pipeline's stage [4])."""
+        from circuitvision_tpu.core.config import EnrichConfig
+        from circuitvision_tpu.core.types import BBox
+        from circuitvision_tpu.enrich.directions import enrich_directions_many
+
+        reader = TestFinalizeNetlistsBatched()._reader(
+            lambda _ids: "POINTS LEFT (ARROW)"
+        )
+        calls = []
+        orig = reader.generate
+        reader.generate = lambda imgs, task: (
+            calls.append(len(imgs)) or orig(imgs, task)
+        )
+        img = np.full((64, 64, 3), 255, np.uint8)
+
+        def box(uid, cls):
+            return BBox(class_name=cls, xmin=5, ymin=5, xmax=20, ymax=25,
+                        confidence=0.9, persistent_uid=uid)
+
+        outs = enrich_directions_many(
+            [img, img, img],
+            [[box("a", "voltage.dc")], [box("b", "diode")],
+             [box("c", "resistor")]],
+            reader, EnrichConfig(),
+        )
+        assert calls == [2]  # ONE dispatch across all three images
+        assert outs[0][0].semantic_direction == "LEFT"
+        assert outs[1][0].semantic_reason == "ARROW"
+        assert outs[2][0].semantic_direction is None
