@@ -126,18 +126,31 @@ class PaliGemmaValueReader:
         )
 
     def generate(self, images: Sequence[np.ndarray], task: str) -> list[str]:
-        """Batched greedy decode; one jit dispatch for the whole batch."""
+        """Batched greedy decode; one jit dispatch for the whole batch.
+
+        The batch is padded up to a power-of-two bucket (blank pixels,
+        rows_valid=False — padded rows emit pad tokens and are sliced
+        off) so arbitrary caller batch sizes reuse a handful of compiled
+        programs instead of one ~minutes-long XLA compile per distinct
+        size (direction batches vary per chunk)."""
         c = self.cfg
+        b = len(images)
+        bucket = 1
+        while bucket < b:
+            bucket *= 2
         pixels = preprocess_images(images, c.vision.image_size)
+        if bucket > b:
+            pad = jnp.zeros((bucket - b,) + pixels.shape[1:], pixels.dtype)
+            pixels = jnp.concatenate([pixels, pad], axis=0)
         ids = self.build_prompt_ids(task)
-        input_ids = jnp.asarray([ids] * len(images), jnp.int32)
-        valid = jnp.ones((len(images),), bool)
+        input_ids = jnp.asarray([ids] * bucket, jnp.int32)
+        valid = jnp.asarray([True] * b + [False] * (bucket - b))
         res = greedy_generate(
             self.model, self.variables, input_ids, pixels, valid,
             self.max_new_tokens,
         )
-        toks = np.asarray(res.tokens)
-        lens = np.asarray(res.lengths)
+        toks = np.asarray(res.tokens)[:b]
+        lens = np.asarray(res.lengths)[:b]
         texts = []
         for row, n in zip(toks, lens):
             seq = [t for t in row[:n] if t != c.eos_token_id]

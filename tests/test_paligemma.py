@@ -937,3 +937,31 @@ class TestBatchedDirections:
         assert outs[0][0].semantic_direction == "LEFT"
         assert outs[1][0].semantic_reason == "ARROW"
         assert outs[2][0].semantic_direction is None
+
+
+class TestGenerateBucketing:
+    def test_non_power_of_two_batch_pads_and_slices(self):
+        """generate pads the batch to a power-of-two bucket (compile-count
+        bound for variable direction batches) and slices the pad rows off;
+        padded rows must not leak into the output."""
+        reader = TestFinalizeNetlistsBatched()._reader(
+            lambda ids: f"len{len(list(ids))}"
+        )
+        seen = []
+        orig_gen = greedy_generate
+
+        img = np.full((16, 16, 3), 255, np.uint8)
+        import circuitvision_tpu.models.paligemma.reader as reader_mod
+
+        def spy(model, variables, input_ids, pixels, valid, max_new):
+            seen.append((int(input_ids.shape[0]), [bool(v) for v in valid]))
+            return orig_gen(model, variables, input_ids, pixels, valid, max_new)
+
+        old = reader_mod.greedy_generate
+        reader_mod.greedy_generate = spy
+        try:
+            out = reader.generate([img, img, img], "task")
+        finally:
+            reader_mod.greedy_generate = old
+        assert len(out) == 3
+        assert seen == [(4, [True, True, True, False])]
