@@ -263,7 +263,22 @@ def _require_backend_or_die(timeout_s: int) -> None:
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=8, help="per-device batch")
+    parser.add_argument(
+        "--batch", type=int, default=None,
+        help="per-device batch for BOTH paths (overrides the per-path "
+        "sweet-spot defaults below)",
+    )
+    parser.add_argument(
+        "--device-batch", type=int, default=16,
+        help="per-device batch for the device-path loop (measured sweet "
+        "spot: the SAM2 step runs 50.8 img/s at 16 vs 49.4 at 8)",
+    )
+    parser.add_argument(
+        "--e2e-batch", type=int, default=8,
+        help="per-device batch (= pipeline chunk size) for the end-to-end "
+        "path (measured sweet spot: 16-image chunks burst the host stages "
+        "and read ~2 img/s slower)",
+    )
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--smoke", action="store_true", help="tiny models for CI")
     parser.add_argument(
@@ -288,7 +303,7 @@ def main():
 
     devices = jax.devices()
     n_dev = len(devices)
-    batch = args.batch * n_dev
+    batch = (args.batch or args.device_batch) * n_dev
 
     def device_step(yv, sv, det_imgs, seg_imgs):
         outs = yolo.apply(yv, det_imgs)
@@ -368,7 +383,7 @@ def main():
 
     if not args.skip_e2e:
         e2e, phases = bench_end_to_end(
-            det_cfg, sam_cfg, yolo_vars, sam_vars, args.batch,
+            det_cfg, sam_cfg, yolo_vars, sam_vars, args.batch or args.e2e_batch,
             noisy_detections=not args.clean_detections,
         )
         result["end_to_end"] = {
