@@ -51,7 +51,11 @@ def nms_by_confidence(bboxes: Sequence[BBox], iou_threshold: float = 0.5) -> lis
     coords = np.asarray(
         [[b.xmin, b.ymin, b.xmax, b.ymax] for b in bboxes], np.float64
     )[order]
-    areas = (coords[:, 2] - coords[:, 0]) * (coords[:, 3] - coords[:, 1])
+    # BBox.area clamps each dimension to >= 0; degenerate boxes must
+    # suppress identically on both the scalar and vectorized paths.
+    areas = np.maximum(coords[:, 2] - coords[:, 0], 0.0) * np.maximum(
+        coords[:, 3] - coords[:, 1], 0.0
+    )
     n = len(order)
     alive = np.ones(n, bool)
     kept_order: list[int] = []

@@ -439,9 +439,18 @@ class CircuitAnalyzerTPU:
             for i, vlm_out in zip(sel, outs):
                 r = results[i]
                 if vlm_out is not None:
+                    # Same per-image ladder as generate_final_netlist: a
+                    # malformed-but-parseable VLM row keeps THIS image's
+                    # valueless netlist instead of aborting the batch.
                     r.vlm_stage2_output = vlm_out
-                    fix_netlist(r.netlist, vlm_out, r.enum_bboxes)
-                    r.netlist_text = stringify_netlist(r.netlist)
+                    try:
+                        fix_netlist(r.netlist, vlm_out, r.enum_bboxes)
+                        r.netlist_text = stringify_netlist(r.netlist)
+                    except Exception as e:
+                        logger.error(
+                            "VLM merge failed for result %d: %s; keeping "
+                            "valueless netlist", i, e,
+                        )
                 r.timings.record("Final Netlist Generation", dt)
         return results
 

@@ -109,8 +109,10 @@ class BatchingExecutor:
         next batch; the device program shape never changes).
     max_wait_ms:
         Flush deadline: a non-full batch launches once its first
-        request has waited this long. 0 disables coalescing (every
-        request is its own batch — latency-optimal, throughput-poor).
+        request has waited this long. 0 disables *waiting* for requests
+        that have not arrived yet (latency-optimal under light load);
+        already-queued requests still join the batch at zero latency
+        cost, so a backlog never collapses to size-1 batches.
     queue_depth:
         Backpressure bound on queued requests; ``submit`` blocks when
         full (callers see it as latency, never unbounded memory).
@@ -132,6 +134,10 @@ class BatchingExecutor:
         self._requests: "queue.Queue" = queue.Queue(maxsize=queue_depth)
         self._stats = _Stats()
         self._closed = False
+        # Serializes the closed-check+enqueue in submit() against close()'s
+        # closed-set+sentinel: without it a request could land BEHIND the
+        # shutdown sentinel and its Future would never resolve.
+        self._submit_lock = threading.Lock()
         # Stage queues carry (requests, staged) tuples; bounded so a slow
         # consumer backpressures the device instead of buffering masks.
         self._q1: "queue.Queue" = queue.Queue(maxsize=2)
@@ -148,12 +154,13 @@ class BatchingExecutor:
     def submit(self, image: np.ndarray) -> "Future[AnalysisResult]":
         """Enqueue one image; returns a Future resolving to its
         AnalysisResult (full ``analyze()`` semantics)."""
-        if self._closed:
-            raise RuntimeError("executor is closed")
-        fut: Future = Future()
-        with self._stats.lock:
-            self._stats.requests += 1
-        self._requests.put(_Request(image, fut, time.perf_counter()))
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("executor is closed")
+            fut: Future = Future()
+            with self._stats.lock:
+                self._stats.requests += 1
+            self._requests.put(_Request(image, fut, time.perf_counter()))
         return fut
 
     def map(self, images: Sequence[np.ndarray]) -> list[AnalysisResult]:
@@ -166,10 +173,11 @@ class BatchingExecutor:
 
     def close(self) -> None:
         """Drain in-flight work and stop the stage threads."""
-        if self._closed:
-            return
-        self._closed = True
-        self._requests.put(None)
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._requests.put(None)
         for t in self._threads:
             t.join(timeout=60)
 

@@ -83,6 +83,35 @@ class TestGeometry:
         kept = geometry.nms_by_confidence([lo, hi, far], iou_threshold=0.5)
         assert hi in kept and far in kept and lo not in kept
 
+    def test_nms_scalar_vectorized_agree_on_degenerate_boxes(self):
+        """Boxes with xmax<xmin (area clamps to 0 in BBox.area) must
+        suppress identically whether the list is below or above the
+        vectorized-path cutoff (24)."""
+        import random
+
+        rng = random.Random(7)
+        base = []
+        for i in range(30):
+            x0, y0 = rng.randint(0, 80), rng.randint(0, 80)
+            if i % 5 == 0:  # degenerate: reversed corners
+                base.append(_bbox("a", x0 + 10, y0 + 10, x0, y0, conf=rng.random()))
+            else:
+                base.append(
+                    _bbox("a", x0, y0, x0 + rng.randint(5, 20),
+                          y0 + rng.randint(5, 20), conf=rng.random())
+                )
+        vec = geometry.nms_by_confidence(base, iou_threshold=0.5)
+        # Force the scalar path on the identical input by monkeypatching
+        # nothing: slice into <24 chunks is NOT equivalent, so instead
+        # compare against a reference greedy loop mirroring the scalar arm.
+        remaining = sorted(base, key=lambda b: b.confidence, reverse=True)
+        kept = []
+        while remaining:
+            best = remaining.pop(0)
+            kept.append(best)
+            remaining = [b for b in remaining if geometry.iou(best, b) < 0.5]
+        assert vec == kept
+
     def test_nms_by_area(self):
         big = _bbox("a", 0, 0, 20, 20, conf=0.1)
         small = _bbox("a", 0, 0, 12, 12, conf=0.9)

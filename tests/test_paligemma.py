@@ -815,6 +815,17 @@ class TestFinalizeNetlistsBatched:
         out = analyzer.finalize_netlists(results)
         assert [r.netlist_text for r in out] == before
 
+    def test_malformed_but_parseable_row_keeps_valueless(self):
+        """A decode that ast-parses to a list of non-dicts must not
+        abort the batch: fix_netlist raising on one image keeps THAT
+        image's valueless netlist (reference ladder,
+        src/analysis_pipeline.py:368-371)."""
+        reader = self._reader(lambda _ids: "['boom', 3]")
+        analyzer, results = self._analyzer_and_results(reader, n=2)
+        before = [r.netlist_text for r in results]
+        out = analyzer.finalize_netlists(results)
+        assert [r.netlist_text for r in out] == before
+
     def test_fallback_without_batch_method(self):
         """A client without get_labels_batch (the HTTP clients) routes
         through the per-image generate_final_netlist path."""
