@@ -245,6 +245,13 @@ class TrainConfig:
     dice_smooth: float = 1e-5
     iou_smooth: float = 1e-5
     learning_rate: float = 1e-3
+    #: rank-r LoRA adapters on the reference's 36 target modules
+    #: (src/circuit_analyzer.py:209-211: r=4, alpha=16; lora_dropout=0.3
+    #: is a training-time activation regularizer PEFT applies before
+    #: lora_A — the weight-space adapters here omit it, documented in
+    #: train/lora.py).
+    lora_rank: int = 4
+    lora_alpha: float = 16.0
 
 
 @dataclasses.dataclass(frozen=True)
