@@ -153,7 +153,6 @@ class CropConfig:
     cluster_multiplier_junction_only: float = 2.5
     cluster_min_threshold: int = 30
     cluster_min_threshold_junction_only: int = 20
-    cluster_fallback_threshold: int = 50
     text_assoc_multiplier: float = 0.75
     text_assoc_min: int = 25
     skip_crop_area_fraction: float = 0.90

@@ -196,13 +196,24 @@ def label_stats(labels: jax.Array, max_labels: int = 64) -> LabelStats:
     # discovery order (verified against cv2 5.0: bottom-most blob is
     # contour 0), and the reference's node old-ids, renumbering sort and
     # per-id viz colors all follow that enumeration
-    # (src/circuit_analyzer.py:388-459, 1547-1582). Sort key: negate
-    # foreground labels so jnp.unique's ascending scan yields descending
-    # ids, with the background sentinel still sorting last.
-    key = jnp.where(flat == sentinel, jnp.int32(sentinel), -flat.astype(jnp.int32))
-    uniq_key = jnp.unique(key, size=max_labels, fill_value=sentinel)
-    valid = uniq_key != sentinel
-    uniq = jnp.where(valid, -uniq_key, sentinel)
+    # (src/circuit_analyzer.py:388-459, 1547-1582).
+    #
+    # When more than max_labels components exist, keep the LARGEST ones:
+    # truncating by raster position (the old jnp.unique scan) could drop
+    # real top-of-image wires while keeping bottom noise specks; the
+    # components a downstream area filter keeps are exactly the large
+    # ones. With <= max_labels components the selection is identical.
+    pixel_count = jnp.bincount(
+        jnp.minimum(flat, sentinel), length=sentinel + 1
+    ).at[sentinel].set(0)
+    top_area, top_roots = jax.lax.top_k(pixel_count, max_labels)
+    sel_valid = top_area > 0
+    # Enumeration order within the selection: descending root index
+    # (reverse raster discovery), invalid slots last.
+    order_key = jnp.where(sel_valid, top_roots, -1)
+    perm = jnp.argsort(-order_key)
+    valid = sel_valid[perm]
+    uniq = jnp.where(valid, top_roots[perm], sentinel)
 
     onehot = (flat[None, :] == uniq[:, None]).astype(jnp.float32)  # (K, HW)
 

@@ -26,12 +26,29 @@ def skeletonize(mask: jax.Array, max_iters: int = 64) -> jax.Array:
     Returns bool skeleton of 1-2 px wide centerlines."""
     x = (jnp.asarray(mask) > 0).astype(jnp.float32) * 255.0
 
+    def erode0(v):
+        # Erosion must treat outside-image as BACKGROUND (constant-0
+        # border), or foreground touching the frame never erodes from
+        # that side and a full-frame mask skeletonizes to nothing.
+        # morphology.erode replicates the border (cv2 enhance_lines
+        # parity); with a 3x3 kernel, zero-padded erosion == replicate
+        # erosion with the border ring forced to zero (every border
+        # output sees at least one outside zero; interior outputs see
+        # none).
+        e = erode(v, 3, 1)
+        return (
+            e.at[0, :].set(0.0)
+            .at[-1, :].set(0.0)
+            .at[:, 0].set(0.0)
+            .at[:, -1].set(0.0)
+        )
+
     def body(state):
         cur, skel, it = state
-        opened = dilate(erode(cur, 3, 1), 3, 1)
+        eroded = erode0(cur)
+        opened = dilate(eroded, 3, 1)
         skel = jnp.maximum(skel, jnp.maximum(cur - opened, 0.0))
-        nxt = erode(cur, 3, 1)
-        return nxt, skel, it + 1
+        return eroded, skel, it + 1
 
     def cond(state):
         cur, _, it = state

@@ -74,7 +74,7 @@ def perform_dc_analysis(
             reltol=cfg.reltol,
             max_iters=cfg.max_newton_iters,
         )
-    except (mna.SimulationError, Exception) as e:
+    except Exception as e:
         return DCResult(ok=False, deck=deck, error=f"DC SPICE Analysis Error: {e}")
     volts = {k: f"{v:.3f}V" for k, v in op.node_voltages.items()}
     amps = {k: f"{i * 1000:.3f}mA" for k, i in op.branch_currents.items()}
@@ -111,7 +111,7 @@ def perform_ac_analysis(
     _, solve_ac = _backend(cfg)
     try:
         sol = solve_ac(body, frequency_hz)
-    except (mna.SimulationError, Exception) as e:
+    except Exception as e:
         return ACResult(ok=False, deck=deck, error=f"AC SPICE Analysis Error: {e}")
     volts = {
         k: f"{abs(v):.3f} ∠ {np.angle(v, deg=True):.2f}° V"
@@ -137,7 +137,7 @@ def perform_ac_analysis_text(
     )
     try:
         sol = solve_ac(netlist_text, frequency_hz)
-    except (mna.SimulationError, Exception) as e:
+    except Exception as e:
         return ACResult(ok=False, deck=deck, error=f"AC SPICE Analysis Error: {e}")
     volts = {
         k: f"{abs(v):.3f} ∠ {np.angle(v, deg=True):.2f}° V"

@@ -30,6 +30,24 @@ from .netlist_parse import Element, NetlistParseError, parse_netlist
 
 _DIODE_IS = 1e-14
 _DIODE_VT = 0.02585
+#: SPICE pnjlim critical voltage: above it, junction-voltage steps are
+#: limited logarithmically instead of clamped (clamping the voltage
+#: inside the stamp makes Newton "converge" to a non-solution — the
+#: linearization point stops moving while the extrapolated current is
+#: orders of magnitude off the diode equation).
+_DIODE_VCRIT = _DIODE_VT * math.log(_DIODE_VT / (math.sqrt(2.0) * _DIODE_IS))
+
+
+def _pnjlim(vnew: float, vold: float) -> float:
+    """SPICE3 junction-voltage limiting (ngspice devsup pnjlim)."""
+    if vnew > _DIODE_VCRIT and abs(vnew - vold) > 2.0 * _DIODE_VT:
+        if vold > 0.0:
+            arg = 1.0 + (vnew - vold) / _DIODE_VT
+            return (
+                vold + _DIODE_VT * math.log(arg) if arg > 0 else _DIODE_VCRIT
+            )
+        return _DIODE_VT * math.log(vnew / _DIODE_VT)
+    return vnew
 _GMIN_DEFAULT = 1e-12
 
 
@@ -106,7 +124,11 @@ def solve_dc(
             )
         return col
 
+    #: per-diode linearization voltage, advanced by pnjlim each iteration
+    vd_state = [0.0] * len(diodes)
+    converged = not diodes
     for _ in range(max_iters if diodes else 1):
+        diode_i = iter(range(len(diodes)))
         A = np.zeros((size, size))
         b = np.zeros(size)
         A[:n, :n] += np.eye(n) * gmin
@@ -135,8 +157,7 @@ def solve_dc(
                 if j >= 0:
                     A[j, col] -= el.gain or 0.0
             elif el.kind == "D":
-                vd = (x[i] if i >= 0 else 0.0) - (x[j] if j >= 0 else 0.0)
-                vd = min(vd, 0.9)  # junction voltage limiting
+                vd = vd_state[next(diode_i)]
                 e = math.exp(vd / _DIODE_VT)
                 gd = (_DIODE_IS / _DIODE_VT) * e + gmin
                 id_lin = _DIODE_IS * (e - 1.0) - gd * vd
@@ -179,8 +200,26 @@ def solve_dc(
         delta = np.max(np.abs(x_new - x)) if size else 0.0
         ref = np.max(np.abs(x_new)) if size else 0.0
         x = x_new
-        if delta <= abstol + reltol * ref:
+        # Advance each diode's linearization point under pnjlim; the
+        # iterate has converged only when the solution AND every
+        # junction voltage have settled (a still-limited step means the
+        # next stamp changes the system).
+        vd_delta = 0.0
+        for di, el in enumerate(diodes):
+            i, j = idx(el.n1), idx(el.n2)
+            vd_new = (x[i] if i >= 0 else 0.0) - (x[j] if j >= 0 else 0.0)
+            vd_lim = _pnjlim(vd_new, vd_state[di])
+            vd_delta = max(vd_delta, abs(vd_lim - vd_state[di]))
+            vd_state[di] = vd_lim
+        if delta <= abstol + reltol * ref and vd_delta <= abstol + reltol * ref:
+            converged = True
             break
+
+    if not converged:
+        raise SimulationError(
+            f"DC operating point did not converge after {max_iters} "
+            "Newton iterations"
+        )
 
     node_voltages = {name: float(x[i]) for name, i in nodes.items()}
     branch_currents = {
@@ -218,15 +257,27 @@ def solve_ac(netlist_text: str, frequency_hz: float) -> ACSolution:
     for el in elements:
         i, j = idx(el.n1), idx(el.n2)
         if el.kind == "R":
+            if el.dc_value is None or el.dc_value == 0:
+                raise SimulationError(
+                    f"resistor {el.name} needs a nonzero value"
+                )
             _stamp_conductance(A, i, j, 1.0 / el.dc_value)
         elif el.kind == "C":
             if el.reactance is not None:  # -jX given directly
                 z = el.reactance
+                if z == 0:
+                    raise SimulationError(
+                        f"capacitor {el.name} needs a nonzero reactance"
+                    )
                 _stamp_conductance(A, i, j, 1.0 / z)
             else:
                 _stamp_conductance(A, i, j, 1j * omega * (el.dc_value or 0.0))
         elif el.kind == "L":
             if el.reactance is not None:
+                if el.reactance == 0:
+                    raise SimulationError(
+                        f"inductor {el.name} needs a nonzero reactance"
+                    )
                 _stamp_conductance(A, i, j, 1.0 / el.reactance)
             else:
                 val = el.dc_value or 0.0

@@ -26,6 +26,23 @@ using cplx = std::complex<double>;
 constexpr double kDiodeIs = 1e-14;
 constexpr double kDiodeVt = 0.02585;
 
+// SPICE3 pnjlim: limit junction-voltage steps logarithmically above
+// vcrit. Clamping the voltage inside the stamp instead makes Newton
+// "converge" to a non-solution (the linearization point stops moving
+// while the extrapolated current is orders of magnitude off).
+inline double pnjlim(double vnew, double vold) {
+  static const double vcrit =
+      kDiodeVt * std::log(kDiodeVt / (1.4142135623730951 * kDiodeIs));
+  if (vnew > vcrit && std::fabs(vnew - vold) > 2.0 * kDiodeVt) {
+    if (vold > 0.0) {
+      const double arg = 1.0 + (vnew - vold) / kDiodeVt;
+      return arg > 0.0 ? vold + kDiodeVt * std::log(arg) : vcrit;
+    }
+    return kDiodeVt * std::log(vnew / kDiodeVt);
+  }
+  return vnew;
+}
+
 // Dense partial-pivot LU solve, in-place. Returns false when singular.
 template <typename T>
 bool lu_solve(std::vector<T>& A, std::vector<T>& b, int n) {
@@ -91,6 +108,9 @@ int cv_solve_dc(int n_elements, const char* kinds, const int* n1,
   for (int e = 0; e < n_elements; ++e) has_diode |= (kinds[e] == 'D');
 
   std::vector<double> x(size, 0.0);
+  // Per-diode linearization voltage, advanced by pnjlim each iteration.
+  std::vector<double> vd_state(static_cast<size_t>(n_elements), 0.0);
+  bool converged = !has_diode;
   const int iters = has_diode ? max_iters : 1;
   for (int it = 0; it < iters; ++it) {
     std::vector<double> A(static_cast<size_t>(size) * size, 0.0);
@@ -112,8 +132,7 @@ int cv_solve_dc(int n_elements, const char* kinds, const int* n1,
           break;
         }
         case 'D': {
-          double vd = (i >= 0 ? x[i] : 0.0) - (j >= 0 ? x[j] : 0.0);
-          if (vd > 0.9) vd = 0.9;
+          const double vd = vd_state[e];
           const double ex = std::exp(vd / kDiodeVt);
           const double gd = (kDiodeIs / kDiodeVt) * ex + gmin;
           const double id_lin = kDiodeIs * (ex - 1.0) - gd * vd;
@@ -146,8 +165,26 @@ int cv_solve_dc(int n_elements, const char* kinds, const int* n1,
       ref = std::max(ref, std::fabs(b[s]));
       x[s] = b[s];
     }
-    if (delta <= abstol + reltol * ref) break;
+    // Advance each diode's linearization point under pnjlim; converged
+    // only when the solution AND every junction voltage have settled
+    // (a still-limited step means the next stamp changes the system).
+    double vd_delta = 0.0;
+    for (int e = 0; e < n_elements; ++e) {
+      if (kinds[e] != 'D') continue;
+      const int i = n1[e], j = n2[e];
+      const double vd_new =
+          (i >= 0 ? x[i] : 0.0) - (j >= 0 ? x[j] : 0.0);
+      const double vd_lim = pnjlim(vd_new, vd_state[e]);
+      vd_delta = std::max(vd_delta, std::fabs(vd_lim - vd_state[e]));
+      vd_state[e] = vd_lim;
+    }
+    if (delta <= abstol + reltol * ref &&
+        vd_delta <= abstol + reltol * ref) {
+      converged = true;
+      break;
+    }
   }
+  if (!converged) return 2;
   std::memcpy(out_x, x.data(), sizeof(double) * size);
   return 0;
 }

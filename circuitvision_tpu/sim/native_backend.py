@@ -121,6 +121,11 @@ def solve_dc_native(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         ctypes.byref(nb),
     )
+    if rc == 2:
+        raise SimulationError(
+            f"DC operating point did not converge after {max_iters} "
+            "Newton iterations"
+        )
     if rc != 0:
         raise SimulationError(f"native DC solve failed (code {rc}; singular matrix?)")
     node_voltages = {name: float(out[i]) for name, i in nodes.items()}

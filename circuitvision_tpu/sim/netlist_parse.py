@@ -20,6 +20,40 @@ _AC_SPEC = re.compile(
     re.IGNORECASE,
 )
 
+_SPICE_NUM = re.compile(
+    r"^([-+]?\d*\.?\d+(?:[eE][-+]?\d+)?)([a-zA-ZµμΩΩ]*)$"
+)
+#: ngspice scale factors, longest first; letters after the factor are
+#: ignored (so "10kohm" is 10e3 and "47farad" is 47 femto — the engine
+#: the reference simulates through reads it exactly that way).
+_SPICE_SCALE = (
+    ("meg", 1e6), ("mil", 25.4e-6), ("t", 1e12), ("g", 1e9), ("k", 1e3),
+    ("m", 1e-3), ("µ", 1e-6), ("μ", 1e-6), ("u", 1e-6), ("n", 1e-9),
+    ("p", 1e-12), ("f", 1e-15), ("a", 1e-18),
+)
+
+
+def parse_spice_value(token: str):
+    """Deck-token value with ngspice semantics (case-INSENSITIVE scale
+    factors: '10M' is 10 milli, '10MEG' is 10 mega, '47f' is 47 femto —
+    unlike the VLM-string parser in netlist/values.py, whose domain is
+    the reference's engineering-notation strings where M means mega).
+    j-reactance forms ("j5", "5j", "100-j50" — the reference's AC
+    rewrites, src/spice_simulator.py:126-181) and the VLM parser's
+    "5x10^-5" form fall through to parse_component_value."""
+    t = str(token).strip()
+    if "j" in t.lower():
+        return parse_component_value(token)
+    m = _SPICE_NUM.match(t)
+    if not m:
+        return parse_component_value(token)
+    num = float(m.group(1))
+    tail = m.group(2).lower()
+    for suffix, mult in _SPICE_SCALE:
+        if tail.startswith(suffix):
+            return num * mult
+    return num
+
 
 @dataclasses.dataclass
 class Element:
@@ -75,7 +109,7 @@ def parse_netlist(text: str) -> list[Element]:
                 )
             el.ctrl_n1, el.ctrl_n2 = parts[3], parts[4]
             try:
-                el.gain = float(parse_component_value(parts[5]))
+                el.gain = float(parse_spice_value(parts[5]))
             except (ValueError, TypeError) as e:
                 raise NetlistParseError(f"line {lineno}: bad gain for {name}: {e}")
             elements.append(el)
@@ -87,7 +121,7 @@ def parse_netlist(text: str) -> list[Element]:
                 )
             el.ctrl_branch = parts[3].lower()
             try:
-                el.gain = float(parse_component_value(parts[4]))
+                el.gain = float(parse_spice_value(parts[4]))
             except (ValueError, TypeError) as e:
                 raise NetlistParseError(f"line {lineno}: bad gain for {name}: {e}")
             elements.append(el)
@@ -107,7 +141,7 @@ def parse_netlist(text: str) -> list[Element]:
                         f"(value 'None'); fill values before simulating"
                     )
                 try:
-                    v = parse_component_value(token)
+                    v = parse_spice_value(token)
                 except ValueError as e:
                     raise NetlistParseError(f"line {lineno}: {e}") from e
                 if isinstance(v, complex):

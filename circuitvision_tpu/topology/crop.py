@@ -83,14 +83,14 @@ def crop_image_and_adjust_bboxes(
     if non_junction:
         avg_diag = _avg_diag(non_junction)
         threshold = max(int(avg_diag * cfg.cluster_multiplier), cfg.cluster_min_threshold)
-    elif elements:
+    else:
+        # junction-only cluster (reference :1014-1023); `elements` is
+        # non-empty here — the empty case returned above.
         avg_diag = _avg_diag(elements)
         threshold = max(
             int(avg_diag * cfg.cluster_multiplier_junction_only),
             cfg.cluster_min_threshold_junction_only,
         )
-    else:
-        threshold = cfg.cluster_fallback_threshold
     info.clustering_threshold = threshold
 
     clusters = _clusters(elements, threshold)

@@ -90,48 +90,6 @@ class NodeExtraction:
     node_viz: Optional[np.ndarray] = None
 
 
-def _prepare_raster(
-    emptied_mask: np.ndarray, cfg: TopologyConfig
-) -> tuple[np.ndarray, np.ndarray, float, float]:
-    """Resize → enhance → binarize. Returns (enhanced_u8, fg_bool, sx, sy)."""
-    h, w = emptied_mask.shape[:2]
-    new_h, new_w = cfg.resize_height, int(cfg.resize_height * (w / h))
-    resized = _cv2_resize_u8(jnp.asarray(emptied_mask, jnp.float32), (new_h, new_w))
-    # Optional fused Pallas path: one VMEM band pass for the whole
-    # blur+close chain (already rounded). Exact-match with the XLA chain
-    # on TPU, but at the 600-row analysis raster XLA's own fusion is
-    # already sub-millisecond, so this stays opt-in.
-    default_params = (
-        cfg.use_fused_morphology
-        and cfg.blur_kernel == 5
-        and cfg.blur_sigma == 1.0
-        and cfg.morph_kernel == 3
-        and cfg.morph_iterations == 2
-    )
-    if default_params and jax.default_backend() not in ("cpu",):
-        from ..ops.pallas.fused_morphology import enhance_lines_fused
-
-        enhanced = enhance_lines_fused(resized)
-    else:
-        enhanced = jnp.round(
-            enhance_lines(
-                resized,
-                blur_ksize=cfg.blur_kernel,
-                blur_sigma=cfg.blur_sigma,
-                morph_ksize=cfg.morph_kernel,
-                iterations=cfg.morph_iterations,
-            )
-        )
-    # Quantize to uint8 semantics (cv2 operates on rounded uint8 — the
-    # faint Gaussian halo below 0.5 must NOT count as foreground).
-    enhanced_u8 = jnp.clip(enhanced, 0, 255)
-    # Auto-invert when mostly white (reference get_contours :398).
-    mean = jnp.mean(enhanced_u8)
-    enhanced_u8 = jnp.where(mean > 127.0, 255.0 - enhanced_u8, enhanced_u8)
-    fg = enhanced_u8 > 0
-    return np.asarray(enhanced_u8).astype(np.uint8), fg, new_w / w, new_h / h
-
-
 def _enhance_chain(resized: jax.Array, cfg: TopologyConfig) -> jax.Array:
     """resize output → enhance_lines → uint8 quantize → auto-invert.
 

@@ -130,6 +130,23 @@ class TestConnectedComponents:
         # raster discovery (cv2 prepends) → the lower blob is row 0.
         assert centroids[0][1] > centroids[1][1]
 
+    def test_overflow_keeps_largest_components(self):
+        """With more components than max_labels, compaction must keep the
+        LARGE (filter-surviving) blobs, not the bottom-most raster ones —
+        a top-of-image wire cannot be evicted by bottom noise specks."""
+        img = np.zeros((64, 64), bool)
+        img[2:5, 2:60] = True  # big top wire (174 px)
+        for k in range(12):  # 12 single-pixel specks along the bottom
+            img[60, 3 + 5 * k] = True
+        _, stats = connected_components(jnp.asarray(img), max_labels=8)
+        area = np.asarray(stats.area)
+        valid = np.asarray(stats.valid)
+        assert valid.sum() == 8  # truncated (13 components exist)
+        assert area[valid].max() == 174.0  # the wire survived
+        # enumeration among the kept is still reverse-raster: the wire is
+        # topmost, so it must be the LAST valid row.
+        assert area[np.nonzero(valid)[0][-1]] == 174.0
+
     def test_contour_area_estimate(self):
         # For a 10x10 filled square: pixels=100, boundary=36,
         # cv2.contourArea would give 81 (9x9 polygon through centers).

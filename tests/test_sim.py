@@ -36,6 +36,34 @@ class TestParse:
         els = parse_netlist("* comment\n.title x\nR1 1 0 100\n\n.end")
         assert len(els) == 1
 
+    def test_spice_scale_factors(self):
+        """Deck tokens use ngspice semantics: case-insensitive scale
+        factors ('10M' = milli, '10MEG' = mega, '47f' = femto), with
+        trailing unit letters ignored — the engine the reference
+        simulates through reads them exactly that way."""
+        from circuitvision_tpu.sim.netlist_parse import parse_spice_value
+
+        assert parse_spice_value("47f") == pytest.approx(47e-15)
+        assert parse_spice_value("10M") == pytest.approx(10e-3)
+        assert parse_spice_value("10MEG") == pytest.approx(10e6)
+        assert parse_spice_value("10kohm") == pytest.approx(10e3)
+        assert parse_spice_value("47pF") == pytest.approx(47e-12)
+        assert parse_spice_value("5a") == pytest.approx(5e-18)
+        assert parse_spice_value("2.5") == 2.5
+        assert parse_spice_value("1e-6") == pytest.approx(1e-6)
+        # j-reactance forms still route to the complex parser
+        assert parse_spice_value("j5") == 5j
+        assert parse_spice_value("100-j50") == 100 - 50j
+        els = parse_netlist("C1 1 0 47f\nR1 1 0 10MEG")
+        assert els[0].dc_value == pytest.approx(47e-15)
+        assert els[1].dc_value == pytest.approx(10e6)
+
+    def test_ac_resistor_needs_value(self):
+        with pytest.raises(SimulationError, match="nonzero value"):
+            solve_ac("R1 1 0\nV1 1 0 AC 1 0", 50.0)
+        with pytest.raises(SimulationError, match="nonzero value"):
+            solve_ac("R1 1 0 0\nV1 1 0 AC 1 0", 50.0)
+
     def test_none_value_raises(self):
         with pytest.raises(NetlistParseError):
             parse_netlist("R1 1 0 None")
@@ -75,6 +103,29 @@ class TestDC:
     def test_unsupported_element(self):
         with pytest.raises(SimulationError):
             solve_dc("Q1 1 0 2")
+
+    def test_diode_high_current_true_operating_point(self):
+        """pnjlim must converge to the actual solution of the diode
+        equation — the former 0.9 V stamp clamp 'converged' to a point
+        where the implied current was off by orders of magnitude."""
+        op = solve_dc("I1 0 1 100\nD1 1 0")
+        want = 0.02585 * math.log(100 / 1e-14 + 1)  # n·vt·ln(I/Is+1)
+        assert op.node_voltages["1"] == pytest.approx(want, rel=1e-6)
+
+    def test_diode_high_current_native_matches(self):
+        from circuitvision_tpu.sim import native_backend as nb
+
+        if nb._load() is None:
+            pytest.skip("native solver not built")
+        op = nb.solve_dc_native("I1 0 1 100\nD1 1 0")
+        want = 0.02585 * math.log(100 / 1e-14 + 1)
+        assert op.node_voltages["1"] == pytest.approx(want, rel=1e-6)
+
+    def test_nonconvergence_raises(self):
+        """Exhausting Newton iterations must error, not silently return
+        the last iterate as a converged operating point."""
+        with pytest.raises(SimulationError, match="did not converge"):
+            solve_dc("I1 0 1 100\nD1 1 0", max_iters=3)
 
 
 class TestAC:
