@@ -128,6 +128,9 @@ class GeminiVLMClient:
         api_key: Optional[str] = None,
         labels_model: str = "gemini-2.5-pro-exp-03-25",
         direction_model: str = "gemini-2.5-flash-lite-preview-06-17",
+        temperature: float = 0.1,
+        top_p: float = 0.98,
+        max_output_tokens: int = 1024,
     ):
         self.api_key = api_key or os.getenv("GEMINI_API_KEY")
         if not self.api_key:
@@ -138,6 +141,12 @@ class GeminiVLMClient:
         self.client = genai.Client(api_key=self.api_key)
         self.labels_model = labels_model
         self.direction_model = direction_model
+        # Direction-call generation params (reference defaults,
+        # src/circuit_analyzer.py:2112-2121); the labels call keeps the
+        # reference's fixed temperature 0 (src/utils.py:158).
+        self.temperature = temperature
+        self.top_p = top_p
+        self.max_output_tokens = max_output_tokens
 
     def get_labels(self, enum_image_rgb: np.ndarray) -> list[dict]:
         from PIL import Image
@@ -167,9 +176,9 @@ class GeminiVLMClient:
                 contents=[prompt, Image.fromarray(crop_rgb)],
                 config={
                     "response_mime_type": "application/json",
-                    "temperature": 0.1,
-                    "top_p": 0.98,
-                    "max_output_tokens": 1024,
+                    "temperature": self.temperature,
+                    "top_p": self.top_p,
+                    "max_output_tokens": self.max_output_tokens,
                 },
             )
             parsed = json.loads(response.text)
@@ -234,10 +243,14 @@ class OpenRouterVLMClient:
         return "UNKNOWN", "UNKNOWN"  # direction uses the Gemini client
 
 
-def default_client() -> Optional[VLMClient]:
+def default_client(enrich=None) -> Optional[VLMClient]:
     """Pick a client from the environment; None when no keys configured
     (the pipeline then degrades exactly like the reference with no
     GEMINI_API_KEY, src/circuit_analyzer.py:133-147).
+
+    `enrich` (core.config.EnrichConfig) supplies the HTTP clients'
+    models and the direction-call generation params; None keeps the
+    reference defaults.
 
     CIRCUITVISION_VLM=paligemma:<orbax_ckpt_dir> selects the on-device
     PaliGemma head (models/paligemma) instead of an HTTP client —
@@ -271,11 +284,20 @@ def default_client() -> Optional[VLMClient]:
             logger.exception("CIRCUITVISION_VLM=%s failed; falling back", spec)
     if os.getenv("GEMINI_API_KEY"):
         try:
+            if enrich is not None:
+                return GeminiVLMClient(
+                    direction_model=enrich.direction_model,
+                    temperature=enrich.temperature,
+                    top_p=enrich.top_p,
+                    max_output_tokens=enrich.max_output_tokens,
+                )
             return GeminiVLMClient()
         except Exception:
             pass
     if os.getenv("OPENROUTER_API_KEY"):
         try:
+            if enrich is not None:
+                return OpenRouterVLMClient(model=enrich.labels_model)
             return OpenRouterVLMClient()
         except Exception:
             pass

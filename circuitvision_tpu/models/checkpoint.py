@@ -5,7 +5,9 @@ Replaces the reference's torch checkpoint loading
 plus one-shot conversion helpers from the reference's torch files:
 
   python -m circuitvision_tpu.models.checkpoint convert-yolo      best.pt out/
+      [--scale n|s|m|l|x] [--num-classes N] [--img-size S]
   python -m circuitvision_tpu.models.checkpoint convert-sam2      best.pth out/
+      [--lora-alpha A]
   python -m circuitvision_tpu.models.checkpoint convert-paligemma hf_dir_or_file out/
 """
 from __future__ import annotations
@@ -121,6 +123,19 @@ def convert_paligemma_checkpoint(torch_path: str, out_path: str,
     save_variables(out_path, variables)
 
 
+#: --flag → (converter kwarg, parser) per command; every documented
+#: converter kwarg is reachable from the CLI.
+_CLI_FLAGS = {
+    "convert-yolo": {
+        "--scale": ("scale", str),
+        "--num-classes": ("num_classes", int),
+        "--img-size": ("img_size", int),
+    },
+    "convert-sam2": {"--lora-alpha": ("lora_alpha", float)},
+    "convert-paligemma": {},
+}
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     commands = {
@@ -132,7 +147,19 @@ def main(argv=None):
         print(__doc__)
         return 1
     cmd, src, dst = argv[0], argv[1], argv[2]
-    commands[cmd](src, dst)
+    flags = _CLI_FLAGS[cmd]
+    kwargs = {}
+    rest = argv[3:]
+    while rest:
+        flag = rest[0]
+        if flag not in flags or len(rest) < 2:
+            known = " ".join(sorted(flags)) or "(none)"
+            print(f"unknown argument {flag!r} for {cmd}; flags: {known}")
+            return 1
+        name, parse = flags[flag]
+        kwargs[name] = parse(rest[1])
+        rest = rest[2:]
+    commands[cmd](src, dst, **kwargs)
     print(f"converted {src} -> {dst}")
     return 0
 

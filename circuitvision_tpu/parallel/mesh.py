@@ -26,7 +26,9 @@ def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
     n = len(devices)
     model = max(1, cfg.model_parallel)
     data = cfg.data_parallel if cfg.data_parallel > 0 else n // model
-    if data * model > n:
+    # data can floor to 0 when model > n — catch that here rather than
+    # letting an empty 0-device Mesh fail cryptically downstream.
+    if data < 1 or data * model > n:
         raise ValueError(f"mesh {data}x{model} exceeds {n} devices")
     dev_array = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(dev_array, (cfg.data_axis, cfg.model_axis))

@@ -78,7 +78,11 @@ class CircuitAnalyzerTPU:
         #: adaptive-threshold mask instead of skipping it (the reference
         #: skips; set False for strict parity with that behavior).
         self.classical_fallback = classical_fallback
-        self.vlm_client = vlm_client if vlm_client is not None else default_client()
+        self.vlm_client = (
+            vlm_client
+            if vlm_client is not None
+            else default_client(self.cfg.enrich)
+        )
 
         dt = compute_dtype(self.cfg.detector.dtype)
         self.yolo = YOLOv11(
@@ -342,11 +346,21 @@ class CircuitAnalyzerTPU:
 
         # [6] Initial netlist + enumeration (:262-326).
         t0 = time.time()
+        self.netlist_stage(result, image_for_analysis)
+        result.timings.record("Netlist Generation", time.time() - t0)
+
+        result.component_stats = self._component_stats(result.bboxes_orig_nms)
+        return result
+
+    def netlist_stage(self, result: AnalysisResult, image_for_enum) -> None:
+        """Stage [6] on one result: initial netlist, the no-VLM-direction
+        comparison netlist (:280-292), component enumeration, and the
+        components-only fallback ladder (:310-323). Shared by analyze()
+        and the batched path so their semantics cannot diverge."""
         if result.nodes:
             result.netlist = generate_netlist_from_nodes(result.nodes)
             result.valueless_netlist_text = stringify_netlist(result.netlist)
             result.netlist_text = result.valueless_netlist_text
-            # no-VLM-direction comparison netlist (:280-292)
             nodes_unknown = [
                 dataclasses.replace(
                     n,
@@ -361,17 +375,13 @@ class CircuitAnalyzerTPU:
                 generate_netlist_from_nodes(nodes_unknown)
             )
             result.enum_image, result.enum_bboxes = enumerate_components(
-                image_for_analysis, result.bboxes
+                image_for_enum, result.bboxes
             )
         else:
             logger.warning("no nodes; generating components-only fallback netlist")
             result.netlist = generate_fallback_netlist(result.bboxes)
             result.valueless_netlist_text = stringify_netlist(result.netlist)
             result.netlist_text = result.valueless_netlist_text
-        result.timings.record("Netlist Generation", time.time() - t0)
-
-        result.component_stats = self._component_stats(result.bboxes_orig_nms)
-        return result
 
     def analyze_batch(
         self, images, mesh=None, batch_size: Optional[int] = None

@@ -42,11 +42,6 @@ from ..core import geometry, taxonomy
 from ..core.config import PipelineConfig
 from ..core.types import AnalysisResult, BBox
 from ..models.yolo.decode import decode_predictions, postprocess
-from ..netlist.generate import (
-    generate_fallback_netlist,
-    generate_netlist_from_nodes,
-    stringify_netlist,
-)
 from ..ops.image import letterbox, sam2_preprocess
 from ..parallel.mesh import make_mesh
 from ..topology.crop import crop_image_and_adjust_bboxes
@@ -237,10 +232,12 @@ class BatchedPipeline:
         seg_batch = np.zeros((b, s, s, 3), np.float32)
         scales = np.ones(b, np.float32)
         pads = np.zeros((b, 2), np.float32)
+        sam2_on = self.analyzer.sam2 is not None
         for i, img in enumerate(images):
             canvas, scale, pad = letterbox(jnp.asarray(img), det.img_size)
             det_batch[i] = np.asarray(canvas) / 255.0
-            seg_batch[i] = np.asarray(sam2_preprocess(jnp.asarray(img), s))
+            if sam2_on:  # the device step ignores seg input when disabled
+                seg_batch[i] = np.asarray(sam2_preprocess(jnp.asarray(img), s))
             scales[i] = float(scale)
             pads[i] = np.asarray(pad)
         return det_batch, seg_batch, scales, pads
@@ -304,11 +301,16 @@ class BatchedPipeline:
             # over only the valid rows — a Python walk of all
             # max_detections rows costs several ms/img on a 1-core host.
             vi = np.nonzero(valid[i])[0]
-            b = boxes[i, vi].astype(np.float64)
-            x0 = np.clip((b[:, 0] - px) / scale, 0.0, w)
-            y0 = np.clip((b[:, 1] - py) / scale, 0.0, h)
-            x1 = np.clip((b[:, 2] - px) / scale, 0.0, w)
-            y1 = np.clip((b[:, 3] - py) / scale, 0.0, h)
+            # float32 throughout: analyze() runs unletterbox_boxes inside
+            # the f32 jit program with f32(scale); doing this in float64
+            # can land round() on a different integer near .5 boundaries
+            # and break batch-vs-single netlist equality by one pixel.
+            b = boxes[i, vi].astype(np.float32)
+            s32, px32, py32 = np.float32(scale), np.float32(px), np.float32(py)
+            x0 = np.clip((b[:, 0] - px32) / s32, np.float32(0), np.float32(w))
+            y0 = np.clip((b[:, 1] - py32) / s32, np.float32(0), np.float32(h))
+            x1 = np.clip((b[:, 2] - px32) / s32, np.float32(0), np.float32(w))
+            y1 = np.clip((b[:, 3] - py32) / s32, np.float32(0), np.float32(h))
             bxs = [
                 BBox(
                     class_name=taxonomy.ID_TO_NAME.get(int(classes[i, d]), "unknown"),
@@ -529,35 +531,10 @@ class BatchedPipeline:
                     logger.exception("node analysis failed; continuing")
 
     def _post_topology(self, st: _Staged, result: AnalysisResult) -> AnalysisResult:
-        """Stage [6] for one image: netlist + enumeration + stats."""
-        from ..topology.enumerate_components import enumerate_components
-
-        if result.nodes:
-            result.netlist = generate_netlist_from_nodes(result.nodes)
-            result.valueless_netlist_text = stringify_netlist(result.netlist)
-            result.netlist_text = result.valueless_netlist_text
-            nodes_unknown = [
-                dataclasses.replace(
-                    n,
-                    components=[
-                        dataclasses.replace(c, semantic_direction="UNKNOWN")
-                        for c in n.components
-                    ],
-                )
-                for n in result.nodes
-            ]
-            result.valueless_netlist_text_no_vlm_dir = stringify_netlist(
-                generate_netlist_from_nodes(nodes_unknown)
-            )
-            result.enum_image, result.enum_bboxes = enumerate_components(
-                st.crop, result.bboxes
-            )
-        else:
-            logger.warning("no nodes; generating components-only fallback netlist")
-            result.netlist = generate_fallback_netlist(result.bboxes)
-            result.valueless_netlist_text = stringify_netlist(result.netlist)
-            result.netlist_text = result.valueless_netlist_text
-
+        """Stage [6] for one image: netlist + enumeration + stats
+        (delegates to the analyzer's shared netlist_stage so the batched
+        and per-image paths cannot diverge)."""
+        self.analyzer.netlist_stage(result, st.crop)
         result.component_stats = self.analyzer._component_stats(result.bboxes_orig_nms)
         return result
 
@@ -636,21 +613,24 @@ class BatchedPipeline:
         t2.start()
 
         results: list[AnalysisResult] = []
-        while True:
-            item = q2.get()
-            if item is None:
-                break
-            if isinstance(item, Exception):
-                stop.set()
-                t1.join()
-                t2.join()
-                raise item
-            self._materialize_masks(item)
-            chunk_results = [self._pre_topology(st) for st in item]
-            self._enrich_chunk(item, chunk_results)
-            self._extract_nodes_chunk(item, chunk_results)
-            for st, r in zip(item, chunk_results):
-                results.append(self._post_topology(st, r))
-        t1.join()
-        t2.join()
+        try:
+            while True:
+                item = q2.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                self._materialize_masks(item)
+                chunk_results = [self._pre_topology(st) for st in item]
+                self._enrich_chunk(item, chunk_results)
+                self._extract_nodes_chunk(item, chunk_results)
+                for st, r in zip(item, chunk_results):
+                    results.append(self._post_topology(st, r))
+        finally:
+            # Consumer-raised exceptions (host topology stages) must stop
+            # the workers too, or they spin on the bounded queues forever
+            # (two leaked threads pinning staged device buffers).
+            stop.set()
+            t1.join()
+            t2.join()
         return results

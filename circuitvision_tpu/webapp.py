@@ -82,7 +82,9 @@ document.getElementById('file').onchange=async e=>{
  const f=e.target.files[0]; if(!f)return;
  document.getElementById('status').textContent=' analyzing…';
  const r=await fetch('/analyze',{method:'POST',body:await f.arrayBuffer()});
- R=await r.json(); document.getElementById('status').textContent=' done in '+R.total_time.toFixed(1)+'s';
+ const j=await r.json();
+ if(!r.ok||j.error){document.getElementById('status').textContent=' failed: '+(j.error||r.status);return;}
+ R=j; document.getElementById('status').textContent=' done in '+R.total_time.toFixed(1)+'s';
  render();};
 function render(){
  let t='<h3>Detections ('+R.bboxes.length+')</h3>';
@@ -123,6 +125,7 @@ async function updateMode(){const net=document.getElementById('net').value;
  document.getElementById('mode').textContent=j.mode;}
 async function finalNetlist(){
  const r=await fetch('/final',{method:'POST'}); const j=await r.json();
+ if(!r.ok||j.error){document.getElementById('status').textContent=' final netlist failed: '+(j.error||r.status);return;}
  document.getElementById('net').value=j.netlist_text; updateMode();}
 async function runSpice(){
  const net=document.getElementById('net').value;

@@ -108,6 +108,33 @@ class TestBatchedPipelineNoSam:
 
 
 @pytest.mark.slow
+class TestConverterCLI:
+    def test_flags_reach_converter_kwargs(self, monkeypatch):
+        """--scale/--num-classes must reach convert_yolo_checkpoint (they
+        were silently dropped, making non-default conversions impossible
+        from the CLI)."""
+        from circuitvision_tpu.models import checkpoint as ck
+
+        seen = {}
+
+        def fake(src, dst, **kw):
+            seen.update(kw, src=src, dst=dst)
+
+        monkeypatch.setattr(ck, "convert_yolo_checkpoint", fake)
+        rc = ck.main(["convert-yolo", "a.pt", "out/", "--scale", "x",
+                      "--num-classes", "80"])
+        assert rc == 0
+        assert seen == {"src": "a.pt", "dst": "out/", "scale": "x",
+                        "num_classes": 80}
+
+    def test_unknown_flag_errors(self, capsys):
+        from circuitvision_tpu.models import checkpoint as ck
+
+        rc = ck.main(["convert-yolo", "a.pt", "out/", "--bogus", "1"])
+        assert rc == 1
+        assert "unknown argument" in capsys.readouterr().out
+
+
 class TestAnalyzeBatchAPI:
     def test_analyze_batch_delegates(self, tiny_analyzer):
         mesh = _cpu_mesh(8)

@@ -43,6 +43,17 @@ class TestMesh:
         mesh = make_mesh(MeshConfig(model_parallel=2), devices=devs)
         assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
 
+    def test_model_parallel_exceeding_devices_raises(self):
+        """model_parallel > device count floored data to 0 and built an
+        empty mesh; it must raise the module's own error instead."""
+        import pytest
+
+        from circuitvision_tpu.core.config import MeshConfig
+
+        devs = cpu_devices(4)
+        with pytest.raises(ValueError, match="exceeds"):
+            make_mesh(MeshConfig(model_parallel=8), devices=devs)
+
     def test_shard_batch_places_data(self):
         devs = cpu_devices(8)
         from circuitvision_tpu.core.config import MeshConfig
