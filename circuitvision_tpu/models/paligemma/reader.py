@@ -106,6 +106,13 @@ class PaliGemmaValueReader:
     encode_fn: Optional[Callable[[str], list[int]]] = None
     decode_fn: Optional[Callable[[Sequence[int]], str]] = None
     max_new_tokens: int = 256
+    # Direction answers are two words ("RIGHT ARROW") — ~3 SentencePiece
+    # or ~11 byte-fallback tokens. A per-task budget keeps the decode
+    # while_loop and the static KV cache (t_max = prompt + budget) sized
+    # to the answer instead of the stage-2 JSON budget: fewer loop trips
+    # when EOS never fires (random/misbehaving weights) and cheaper
+    # cache-wide attention reads on every decode step either way.
+    direction_max_new_tokens: int = 16
     dtype: object = jnp.float32
 
     def __post_init__(self):
@@ -125,7 +132,12 @@ class PaliGemmaValueReader:
             + list(self.encode_fn("\n"))
         )
 
-    def generate(self, images: Sequence[np.ndarray], task: str) -> list[str]:
+    def generate(
+        self,
+        images: Sequence[np.ndarray],
+        task: str,
+        max_new_tokens: Optional[int] = None,
+    ) -> list[str]:
         """Batched greedy decode; one jit dispatch for the whole batch.
 
         The batch is padded up to a power-of-two bucket (blank pixels,
@@ -147,7 +159,8 @@ class PaliGemmaValueReader:
         valid = jnp.asarray([True] * b + [False] * (bucket - b))
         res = greedy_generate(
             self.model, self.variables, input_ids, pixels, valid,
-            self.max_new_tokens,
+            max_new_tokens if max_new_tokens is not None
+            else self.max_new_tokens,
         )
         toks = np.asarray(res.tokens)[:b]
         lens = np.asarray(res.lengths)[:b]
@@ -204,7 +217,11 @@ class PaliGemmaValueReader:
     def get_direction(
         self, crop_rgb: np.ndarray, component_class: str
     ) -> tuple[str, str]:
-        return self._parse_direction(self.generate([crop_rgb], DIRECTION_TASK)[0])
+        text = self.generate(
+            [crop_rgb], DIRECTION_TASK,
+            max_new_tokens=self.direction_max_new_tokens,
+        )[0]
+        return self._parse_direction(text)
 
     def get_directions_batch(
         self, crops_rgb: Sequence[np.ndarray], component_classes: Sequence[str]
@@ -214,5 +231,8 @@ class PaliGemmaValueReader:
         class-independent (same task prefix for sources and diodes — as is
         the per-image reference prompt pair's shared structure), so the
         crops batch cleanly; per-crop parse failures yield UNKNOWN."""
-        texts = self.generate(list(crops_rgb), DIRECTION_TASK)
+        texts = self.generate(
+            list(crops_rgb), DIRECTION_TASK,
+            max_new_tokens=self.direction_max_new_tokens,
+        )
         return [self._parse_direction(t) for t in texts]

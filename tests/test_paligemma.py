@@ -355,6 +355,28 @@ class TestValueReader:
             np.zeros((16, 16, 3), np.uint8), "diode"
         ) == ("DOWN", "ARROW")
 
+    def test_direction_budget_smaller_than_labels(self):
+        """Direction calls decode at direction_max_new_tokens, labels at
+        max_new_tokens: with random weights (no EOS) the decoded id list
+        length IS the budget, so capture it through decode_fn."""
+        seen = []
+
+        def capture(ids):
+            seen.append(len(list(ids)))
+            return "DOWN ARROW"
+
+        r = self._reader(decode_fn=capture, direction_max_new_tokens=3)
+        img = np.zeros((16, 16, 3), np.uint8)
+        r.get_direction(img, "diode")
+        assert seen[-1] <= 3
+        r.get_directions_batch([img, img], ["diode", "diode"])
+        assert seen[-1] <= 3 and seen[-2] <= 3
+        try:
+            r.get_labels(img)
+        except ValueError:
+            pass  # noise text fails the shared parser — budget still ran
+        assert seen[-1] > 3  # labels used the full max_new_tokens=6
+
     def test_get_labels_noise_raises_like_http_clients(self):
         """Random weights → noise → the SAME ValueError contract the
         pipeline's VLM degradation ladder catches (analyzer falls back to
@@ -877,9 +899,9 @@ class TestBatchedDirections:
         calls = []
         orig = reader.generate
 
-        def counting_generate(images, task):
+        def counting_generate(images, task, **kw):
             calls.append(len(images))
-            return orig(images, task)
+            return orig(images, task, **kw)
 
         reader.generate = counting_generate
         img = np.full((64, 64, 3), 255, np.uint8)
@@ -929,8 +951,8 @@ class TestBatchedDirections:
         )
         calls = []
         orig = reader.generate
-        reader.generate = lambda imgs, task: (
-            calls.append(len(imgs)) or orig(imgs, task)
+        reader.generate = lambda imgs, task, **kw: (
+            calls.append(len(imgs)) or orig(imgs, task, **kw)
         )
         img = np.full((64, 64, 3), 255, np.uint8)
 
