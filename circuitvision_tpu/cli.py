@@ -130,11 +130,9 @@ def _cmd_analyze_batch(args) -> int:
 
     images = [load_image(p) for p in paths]
     t0 = time.time()
-    results = analyzer.analyze_batch(images, batch_size=args.batch_size)
-    if args.final:
-        results = analyzer.finalize_netlists(
-            results, chunk_size=args.batch_size
-        )
+    results = analyzer.analyze_batch(
+        images, batch_size=args.batch_size, finalize=args.final
+    )
     dt = time.time() - t0
 
     if args.out_dir:

@@ -244,16 +244,13 @@ def analyze_many_distributed(
     span = balanced_span(len(images))
     mesh = make_mesh(analyzer.cfg.mesh, devices=jax.local_devices())
     pipe = BatchedPipeline(analyzer, mesh=mesh, batch_size=batch_size)
+    # VLM stage-2 (final=True) runs per host over its OWN span,
+    # interleaved per chunk (the on-TPU reader runs on this host's chips;
+    # HTTP clients fan out per host) — still no cross-host collectives,
+    # DCN carries only the final text.
     local_results = pipe.analyze_many(
-        [images[i] for i in span], prefetch=prefetch
+        [images[i] for i in span], prefetch=prefetch, finalize=final
     )
-    if final:
-        # VLM stage-2 per host over its OWN span (the on-TPU reader runs
-        # on this host's chips; HTTP clients fan out per host) — still
-        # no cross-host collectives, DCN carries only the final text.
-        local_results = analyzer.finalize_netlists(
-            local_results, chunk_size=batch_size
-        )
     payload = json.dumps(
         [
             {"netlist": r.netlist_text, "valueless": r.valueless_netlist_text}

@@ -384,16 +384,22 @@ class CircuitAnalyzerTPU:
             result.netlist_text = result.valueless_netlist_text
 
     def analyze_batch(
-        self, images, mesh=None, batch_size: Optional[int] = None
+        self,
+        images,
+        mesh=None,
+        batch_size: Optional[int] = None,
+        finalize: bool = False,
     ) -> list[AnalysisResult]:
         """Batched multi-image analysis sharded over a device mesh
         (SURVEY.md §7.8). Device detect+segment run in fixed-shape batches
         with the batch dim on the mesh's data axis; host topology overlaps
-        the next batch (see pipeline/batch.py)."""
+        the next batch (see pipeline/batch.py). ``finalize=True``
+        interleaves the batched VLM stage-2 value pass per chunk (same
+        output as a trailing finalize_netlists, better overlap)."""
         from .batch import BatchedPipeline
 
         pipeline = BatchedPipeline(self, mesh=mesh, batch_size=batch_size)
-        return pipeline.analyze_many(list(images))
+        return pipeline.analyze_many(list(images), finalize=finalize)
 
     def generate_final_netlist(self, result: AnalysisResult) -> AnalysisResult:
         """VLM value extraction + fix_netlist merge

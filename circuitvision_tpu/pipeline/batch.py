@@ -539,7 +539,10 @@ class BatchedPipeline:
         return result
 
     def analyze_many(
-        self, images: Sequence[np.ndarray], prefetch: int = 2
+        self,
+        images: Sequence[np.ndarray],
+        prefetch: int = 2,
+        finalize: bool = False,
     ) -> list[AnalysisResult]:
         """Full pipeline over many images with analyze() semantics, run as
         a three-stage thread pipeline over chunks:
@@ -551,7 +554,17 @@ class BatchedPipeline:
         packed masks), and within one chunk detect → crop → segment is
         serial (crop needs boxes). With two stages, SAM2 compute of chunk
         N overlaps the detect round trip of chunk N+1, so steady-state
-        throughput is max(stage) rather than sum(stages)."""
+        throughput is max(stage) rather than sum(stages).
+
+        ``finalize=True`` additionally runs the batched VLM stage-2 value
+        pass (analyzer.finalize_netlists) on each CHUNK inside the
+        consumer loop instead of as a serial second sweep: the value-read
+        decode of chunk N rides the same device queue as chunk N+1's
+        SAM2 compute, and its host half (enum-image staging, response
+        parse, fix_netlist merge) overlaps device work that a serial
+        finalize pays for twice. Netlist output is identical to
+        analyze_many() + finalize_netlists() — same per-chunk batching,
+        same failure ladder (pinned by tests/test_batch_parity.py)."""
         chunks = [
             list(images[i : i + self.batch_size])
             for i in range(0, len(images), self.batch_size)
@@ -624,8 +637,15 @@ class BatchedPipeline:
                 chunk_results = [self._pre_topology(st) for st in item]
                 self._enrich_chunk(item, chunk_results)
                 self._extract_nodes_chunk(item, chunk_results)
-                for st, r in zip(item, chunk_results):
-                    results.append(self._post_topology(st, r))
+                chunk_results = [
+                    self._post_topology(st, r)
+                    for st, r in zip(item, chunk_results)
+                ]
+                if finalize:
+                    chunk_results = self.analyzer.finalize_netlists(
+                        chunk_results, chunk_size=self.batch_size
+                    )
+                results.extend(chunk_results)
         finally:
             # Consumer-raised exceptions (host topology stages) must stop
             # the workers too, or they spin on the bounded queues forever

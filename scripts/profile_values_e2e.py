@@ -101,6 +101,8 @@ def main():
     warm = analyzer.finalize_netlists(warm, chunk_size=args.batch)
     print("warmup complete")
 
+    # Serial split (pipeline, then a second finalize sweep) — kept for
+    # the stage-level attribution.
     t0 = time.perf_counter()
     results = pipeline.analyze_many(images)
     t_pipe = time.perf_counter() - t0
@@ -116,9 +118,20 @@ def main():
     print(
         f"{n} images: pipeline {t_pipe:.2f}s ({n/t_pipe:.2f} img/s) + "
         f"values {t_final:.2f}s ({n/t_final:.2f} img/s) = "
-        f"{total:.2f}s -> {n/total:.2f} img/s COMPLETE "
+        f"{total:.2f}s -> {n/total:.2f} img/s COMPLETE serial "
         f"(directions read for {n_dirs} components, "
         f"int8={not args.no_int8})"
+    )
+
+    # Interleaved: the value pass rides the pipeline per chunk
+    # (analyze_many(finalize=True) — the production --final path).
+    t0 = time.perf_counter()
+    results = pipeline.analyze_many(images, finalize=True)
+    t_int = time.perf_counter() - t0
+    assert all(r.netlist_text is not None for r in results)
+    print(
+        f"{n} images interleaved: {t_int:.2f}s -> "
+        f"{n/t_int:.2f} img/s COMPLETE"
     )
 
 

@@ -169,6 +169,75 @@ class TestBatchParity:
         ]
 
 
+class TestInterleavedFinalize:
+    def test_finalize_true_equals_trailing_finalize(self, monkeypatch):
+        """analyze_many(finalize=True) must produce byte-identical final
+        netlists to analyze_many() + finalize_netlists() — the interleave
+        only changes WHEN each chunk's VLM value pass runs, not its
+        batching or merge semantics."""
+        client = FakeVLMClient(
+            labels=[
+                {"id": "1", "class": "voltage.dc", "value": "10"},
+                {"id": "2", "class": "resistor", "value": "1k"},
+            ],
+            directions={"voltage.dc": ("UP", "SIGN")},
+        )
+        analyzer = CircuitAnalyzerTPU(
+            config=PipelineConfig(
+                detector=DetectorConfig(scale="n", img_size=64, dtype="float32"),
+                sam2=TINY_SAM,
+                use_sam2=False,
+            ),
+            use_sam2=False,
+            vlm_client=client,
+        )
+        _inject_detections(monkeypatch, analyzer)
+        images = [img for img, _ in CIRCUITS] * 5  # 10 images, 2 chunks of 8
+
+        pipe = BatchedPipeline(analyzer, mesh=_cpu_mesh(8), batch_size=8)
+        serial = analyzer.finalize_netlists(
+            pipe.analyze_many(images), chunk_size=8
+        )
+        calls_before = getattr(client, "label_batch_calls", 0)
+        interleaved = pipe.analyze_many(images, finalize=True)
+
+        assert len(interleaved) == len(serial)
+        for a, b in zip(serial, interleaved):
+            assert b.netlist_text == a.netlist_text
+            assert b.netlist_text is not None
+            assert b.vlm_stage2_output == a.vlm_stage2_output
+            assert b.valueless_netlist_text == a.valueless_netlist_text
+        # values actually merged (not the valueless fallback)
+        assert any(
+            r.netlist_text != r.valueless_netlist_text for r in interleaved
+        )
+        # the interleave batched per chunk, not per image
+        assert getattr(client, "label_batch_calls", 0) - calls_before == 2
+
+    def test_analyze_batch_finalize_flag(self, monkeypatch):
+        """analyze_batch(finalize=True) — the CLI --final path — finalizes
+        through the interleaved pipeline."""
+        client = FakeVLMClient(
+            labels=[{"id": "1", "class": "voltage.dc", "value": "5"}]
+        )
+        analyzer = CircuitAnalyzerTPU(
+            config=PipelineConfig(
+                detector=DetectorConfig(scale="n", img_size=64, dtype="float32"),
+                sam2=TINY_SAM,
+                use_sam2=False,
+            ),
+            use_sam2=False,
+            vlm_client=client,
+        )
+        _inject_detections(monkeypatch, analyzer)
+        img, _ = golden_image()
+        (res,) = analyzer.analyze_batch(
+            [img], mesh=_cpu_mesh(8), batch_size=8, finalize=True
+        )
+        assert res.netlist_text is not None
+        assert res.vlm_stage2_output == client.labels
+
+
 class TestErrorPropagation:
     def test_segment_stage_error_raises_without_hang(self, monkeypatch):
         """A stage exception with many chunks still pending must raise to
