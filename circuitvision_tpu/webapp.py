@@ -95,11 +95,13 @@ function render(){
   t+=R.vlm_crops.map(c=>'<div style="display:inline-block;margin:4px;text-align:center">'+
    '<img width="100" src="data:image/png;base64,'+c.img+'"><br><small>'+c.class+
    ' <code>'+c.direction+'</code>;<code>'+c.reason+'</code>\u2192<code>'+c.interpreted+'</code></small></div>').join('');}
+ if(R.annotated_orig) t+='<h3>Debug: initial YOLO detections on original image</h3><img class="result" src="data:image/png;base64,'+R.annotated_orig+'">';
  t+='<h3>Timings</h3><table>'+Object.entries(R.timings).map(([k,v])=>
   '<tr><td>'+k+'</td><td>'+(v*1000).toFixed(1)+' ms</td></tr>').join('')+'</table>';
  document.getElementById('p0').innerHTML=t;
  let s='<h3>Wire mask</h3>';
  if(R.mask) s+='<img class="result" src="data:image/png;base64,'+R.mask+'">';
+ if(R.emptied) s+='<h3>Emptied mask</h3><img class="result" src="data:image/png;base64,'+R.emptied+'">';
  if(R.enhanced) s+='<h3>Enhanced (analysis space)</h3><img class="result" src="data:image/png;base64,'+R.enhanced+'">';
  if(R.node_viz) s+='<h3>Nodes</h3><img class="result" src="data:image/png;base64,'+R.node_viz+'">';
  if(R.contour_viz) s+='<h3>Wire contours</h3><img class="result" src="data:image/png;base64,'+R.contour_viz+'">';
@@ -126,7 +128,12 @@ async function updateMode(){const net=document.getElementById('net').value;
 async function finalNetlist(){
  const r=await fetch('/final',{method:'POST'}); const j=await r.json();
  if(!r.ok||j.error){document.getElementById('status').textContent=' final netlist failed: '+(j.error||r.status);return;}
- document.getElementById('net').value=j.netlist_text; updateMode();}
+ document.getElementById('net').value=j.netlist_text;
+ if(j.vlm_raw){let d=document.getElementById('vlmraw');
+  if(!d){d=document.createElement('div');d.id='vlmraw';
+   document.getElementById('p2').appendChild(d);}
+  d.innerHTML='<h4>VLM analysis output (raw)</h4><pre>'+j.vlm_raw+'</pre>';}
+ updateMode();}
 async function runSpice(){
  const net=document.getElementById('net').value;
  const f=document.getElementById('freq').value;
@@ -138,6 +145,20 @@ async function runSpice(){
   (j.phasors?'<h4>Phasor diagram</h4><img class="result" src="data:image/png;base64,'+j.phasors+'">':'')
   : '<pre style="color:#f87171">'+j.error+'</pre>';}
 </script></body></html>"""
+
+
+def _format_vlm_output(vlm_out) -> str:
+    """The reference's raw-VLM display formatting (app.py:780-789):
+    python-ish list-of-dicts text, every key/value single-quoted."""
+    if not vlm_out:
+        return ""
+    out = "[\n"
+    for comp in vlm_out:
+        out += "    {\n"
+        for key, value in comp.items():
+            out += f"        '{key}': '{value}',\n"
+        out = out.rstrip(",\n") + "\n    },\n"
+    return out.rstrip(",\n") + "\n]"
 
 
 def _vlm_direction_gallery(result) -> list:
@@ -235,6 +256,7 @@ class Handler(BaseHTTPRequestHandler):
                         "timings": result.timings.timings,
                         "total_time": result.timings.total(),
                         "mask": _png_b64(result.sam_mask),
+                        "emptied": _png_b64(result.node_mask),
                         "enhanced": _png_b64(result.enhanced_mask),
                         "node_viz": _png_b64(result.node_visualization),
                         "contour_viz": _png_b64(result.contour_visualization),
@@ -260,6 +282,17 @@ class Handler(BaseHTTPRequestHandler):
                         "vlm_crops": _vlm_direction_gallery(result),
                         "enum_img": _png_b64(result.enum_image),
                         "annotated": _png_b64(annotated),
+                        # "Debug: Original Image" expander (app.py:626-640):
+                        # NMS'd detections drawn on the ORIGINAL image,
+                        # before any cropping.
+                        "annotated_orig": _png_b64(
+                            create_annotated_image(
+                                result.original_image
+                                if result.original_image is not None
+                                else image,
+                                result.bboxes_orig_nms,
+                            )
+                        ),
                     }
                 )
             elif self.path == "/final":
@@ -269,7 +302,17 @@ class Handler(BaseHTTPRequestHandler):
                         return self._json({"error": "no analysis yet"}, 400)
                     result = _STATE["analyzer"].generate_final_netlist(result)
                     _STATE["result"] = result
-                self._json({"netlist_text": result.netlist_text})
+                self._json(
+                    {
+                        "netlist_text": result.netlist_text,
+                        # "Debug: VLM" expander's raw-output block
+                        # (app.py:777-791): the stage-2 list formatted
+                        # python-style, one key per line.
+                        "vlm_raw": _format_vlm_output(
+                            result.vlm_stage2_output
+                        ),
+                    }
+                )
             elif self.path == "/mode":
                 text = self._body().decode()
                 self._json({"mode": detect_analysis_mode(text)})

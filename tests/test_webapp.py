@@ -62,6 +62,27 @@ class TestWebApp:
             "basis_bbox", "clustering_threshold", "text_expansions",
         } <= set(out["crop"])
         assert isinstance(out["vlm_crops"], list)
+        # original-image YOLO-detections debug surface (app.py:626-640);
+        # always present — boxes are drawn on the pre-crop original
+        assert isinstance(out["annotated_orig"], str)
+        assert len(out["annotated_orig"]) > 100
+        # emptied-mask debug image (app.py:705-710); "" when node
+        # analysis produced no mask on this synthetic input
+        assert "emptied" in out
+
+    def test_final_returns_raw_vlm_output(self, server):
+        """/final carries the reference's raw-VLM debug block
+        (app.py:777-791): the stage-2 list formatted python-style."""
+        img = np.full((120, 160, 3), 255, np.uint8)
+        img[60:63, 20:140] = 0
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        _post(server + "/analyze", buf.getvalue())
+        out = _post(server + "/final", b"")
+        assert "vlm_raw" in out
+        if out["vlm_raw"]:  # FakeVLMClient returned labels
+            assert out["vlm_raw"].startswith("[\n    {\n")
+            assert "'class': 'resistor'" in out["vlm_raw"]
 
     def test_vlm_direction_gallery(self, server):
         """With oracle detections incl. a voltage source, the analyze
