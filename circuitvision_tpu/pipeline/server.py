@@ -282,6 +282,51 @@ class BatchingExecutor:
 
 # -- HTTP front end --------------------------------------------------------
 
+def _prometheus_text(stats: dict) -> str:
+    """The /stats snapshot in Prometheus text exposition format
+    (counters + gauges + latency-quantile gauges), so the serving layer
+    plugs into standard scrape-based monitoring without an adapter.
+    The reference has no metrics export at all (SURVEY §5)."""
+    lines = []
+
+    def metric(name, kind, value, help_text, labels=""):
+        if value is None:
+            return
+        lines.append(f"# HELP {name} {help_text}")
+        lines.append(f"# TYPE {name} {kind}")
+        lines.append(f"{name}{labels} {value}")
+
+    metric("circuitvision_requests_total", "counter", stats["requests"],
+           "Analyze requests received")
+    metric("circuitvision_completed_total", "counter", stats["completed"],
+           "Requests completed successfully")
+    metric("circuitvision_failed_total", "counter", stats["failed"],
+           "Requests failed")
+    metric("circuitvision_batches_total", "counter", stats["batches"],
+           "Device micro-batches executed")
+    metric("circuitvision_mean_batch_size", "gauge",
+           stats["mean_batch_size"], "Mean micro-batch occupancy")
+    metric("circuitvision_queue_depth", "gauge", stats["queue_depth"],
+           "Requests waiting for a batch slot")
+    lat = {
+        k: v for k, v in (stats.get("latency_s") or {}).items() if v is not None
+    }
+    if lat:
+        lines.append(
+            "# HELP circuitvision_request_latency_seconds "
+            "End-to-end request latency (rolling window)"
+        )
+        lines.append("# TYPE circuitvision_request_latency_seconds summary")
+        for q, v in lat.items():
+            # p50/p90/p99 → the conventional quantile label 0.5/0.9/0.99
+            frac = int(q[1:]) / 100.0
+            lines.append(
+                "circuitvision_request_latency_seconds"
+                f'{{quantile="{frac:g}"}} {v}'
+            )
+    return "\n".join(lines) + "\n"
+
+
 def _result_json(result: AnalysisResult) -> dict:
     """Serving response: the structural outputs, no debug rasters (the
     interactive webapp serves those; this endpoint is the throughput
@@ -320,6 +365,15 @@ def make_server(
                 self._json({"ok": True})
             elif self.path == "/stats":
                 self._json(executor.stats())
+            elif self.path == "/metrics":
+                body = _prometheus_text(executor.stats()).encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4"
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self.send_error(404)
 

@@ -172,6 +172,22 @@ class TestHTTPServer:
                     stats = json.loads(resp.read())
                 assert stats["completed"] >= 1
                 assert stats["latency_s"]["p50"] is not None
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/metrics", timeout=30
+                ) as resp:
+                    assert resp.headers["Content-Type"].startswith(
+                        "text/plain"
+                    )
+                    text = resp.read().decode()
+                # Prometheus text exposition: counters + the latency
+                # summary with conventional quantile labels.
+                assert "# TYPE circuitvision_requests_total counter" in text
+                assert "circuitvision_completed_total 1" in text
+                assert (
+                    "# TYPE circuitvision_request_latency_seconds summary"
+                    in text
+                )
+                assert 'quantile="0.5"' in text
             finally:
                 server.shutdown()
                 t.join(timeout=30)
