@@ -396,6 +396,20 @@ def make_server(
     return ThreadingHTTPServer(("0.0.0.0", port), Handler)
 
 
+def _sigterm_to_exit(signum, frame):
+    """SIGTERM → SystemExit so serve()'s finally/with blocks run.
+
+    Production stops (docker stop, kubelet, systemd) send SIGTERM;
+    Python's default action kills the process mid-flight — in-flight
+    futures never resolve and the device client dies inside a dispatch
+    (a SIGTERM'd client once wedged this environment's remote-TPU
+    tunnel for a day, PERF.md infrastructure note). Raising SystemExit
+    instead unwinds through serve(): the HTTP loop stops, then the
+    executor's __exit__ drains in-flight batches before the process
+    exits."""
+    raise SystemExit(0)
+
+
 def serve(
     analyzer,
     port: int = 8600,
@@ -403,15 +417,21 @@ def serve(
     max_wait_ms: float = 25.0,
     final: bool = False,
 ) -> None:
-    """Start the micro-batching server (blocks)."""
+    """Start the micro-batching server (blocks). SIGINT and SIGTERM
+    both shut down gracefully: stop accepting, drain in-flight work,
+    then return."""
+    import signal
+
     pipeline = BatchedPipeline(analyzer, batch_size=batch_size)
     with BatchingExecutor(pipeline, max_wait_ms=max_wait_ms, final=final) as ex:
         server = make_server(ex, port=port)
         logger.info("serving on :%d (batch=%d, max_wait=%.0fms)",
                     port, pipeline.batch_size, max_wait_ms)
+        old_term = signal.signal(signal.SIGTERM, _sigterm_to_exit)
         try:
             server.serve_forever()
-        except KeyboardInterrupt:
-            pass
+        except (KeyboardInterrupt, SystemExit):
+            logger.info("shutdown signal; draining in-flight batches")
         finally:
+            signal.signal(signal.SIGTERM, old_term)
             server.shutdown()

@@ -193,6 +193,49 @@ class TestHTTPServer:
                 t.join(timeout=30)
 
 
+class TestGracefulShutdown:
+    def test_sigterm_drains_and_exits_zero(self):
+        """A real SIGTERM to a live serve() process exits 0 through the
+        drain path (executor __exit__), not the default kill — the
+        production stop signal (docker/kubelet) must not sever the
+        device client mid-dispatch (PERF.md infrastructure note)."""
+        import os
+        import signal
+        import subprocess
+        import sys
+
+        proc = subprocess.Popen(
+            [sys.executable,
+             os.path.join(os.path.dirname(__file__), "serve_sigterm_worker.py")],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+        )
+        try:
+            port_line = proc.stdout.readline().strip()
+            assert port_line.startswith("PORT="), port_line
+            port = int(port_line.split("=")[1])
+            deadline = time.time() + 120
+            up = False
+            while time.time() < deadline:
+                try:
+                    with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/healthz", timeout=5
+                    ) as resp:
+                        up = json.loads(resp.read())["ok"]
+                        break
+                except Exception:
+                    time.sleep(0.2)
+            assert up, "server never came up"
+            proc.send_signal(signal.SIGTERM)
+            out, _ = proc.communicate(timeout=120)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+        assert proc.returncode == 0
+        assert "DRAINED" in out
+
+
 class TestServedFinalPass:
     def test_final_executor_merges_values(self, analyzer, monkeypatch):
         """BatchingExecutor(final=True) runs the batched stage-2 per served
