@@ -244,6 +244,13 @@ class TrainConfig:
     dice_smooth: float = 1e-5
     iou_smooth: float = 1e-5
     learning_rate: float = 1e-3
+    #: LR schedule: "constant" (reference-parity default) or "cosine"
+    #: (linear warmup → cosine decay to min_lr_ratio·learning_rate over
+    #: total_steps — the standard production fine-tune shape).
+    schedule: str = "constant"
+    warmup_steps: int = 0
+    total_steps: int = 0
+    min_lr_ratio: float = 0.0
     #: rank-r LoRA adapters on the reference's 36 target modules
     #: (src/circuit_analyzer.py:209-211: r=4, alpha=16; lora_dropout=0.3
     #: is a training-time activation regularizer PEFT applies before

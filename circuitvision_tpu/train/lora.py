@@ -238,8 +238,10 @@ def make_lora_optimizer(cfg: Optional[TrainConfig] = None):
     base model at all; cf. make_optimizer's multi_transform)."""
     import optax
 
+    from .train_step import learning_rate_schedule
+
     cfg = cfg or TrainConfig()
-    return optax.adam(cfg.learning_rate)
+    return optax.adam(learning_rate_schedule(cfg))
 
 
 def _lora_trunk_cutoff(lora: dict) -> int:

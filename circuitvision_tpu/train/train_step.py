@@ -74,10 +74,42 @@ def make_optimizer(
         mask = trainable_mask(params)
     labels = jax.tree.map(lambda m: "train" if m else "freeze", mask)
     tx = optax.multi_transform(
-        {"train": optax.adam(cfg.learning_rate), "freeze": optax.set_to_zero()},
+        {
+            "train": optax.adam(learning_rate_schedule(cfg)),
+            "freeze": optax.set_to_zero(),
+        },
         param_labels=labels,
     )
     return tx, mask
+
+
+def learning_rate_schedule(cfg: TrainConfig):
+    """The configured LR: a constant (reference-parity default), a
+    linear-warmup constant, or warmup→cosine decay. Returned as an
+    optax schedule (or float) suitable for optax.adam."""
+    if cfg.schedule == "cosine":
+        if cfg.total_steps <= 0:
+            raise ValueError("schedule='cosine' requires total_steps > 0")
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=cfg.learning_rate,
+            warmup_steps=cfg.warmup_steps,
+            decay_steps=cfg.total_steps,
+            end_value=cfg.learning_rate * cfg.min_lr_ratio,
+        )
+    if cfg.schedule != "constant":
+        raise ValueError(f"unknown schedule {cfg.schedule!r}")
+    if cfg.warmup_steps > 0:
+        return optax.join_schedules(
+            [
+                optax.linear_schedule(
+                    0.0, cfg.learning_rate, cfg.warmup_steps
+                ),
+                optax.constant_schedule(cfg.learning_rate),
+            ],
+            boundaries=[cfg.warmup_steps],
+        )
+    return cfg.learning_rate
 
 
 def _trunk_diff_cutoff(mask: dict) -> int:

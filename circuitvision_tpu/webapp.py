@@ -152,13 +152,18 @@ def _format_vlm_output(vlm_out) -> str:
     python-ish list-of-dicts text, every key/value single-quoted."""
     if not vlm_out:
         return ""
-    out = "[\n"
-    for comp in vlm_out:
-        out += "    {\n"
-        for key, value in comp.items():
-            out += f"        '{key}': '{value}',\n"
-        out = out.rstrip(",\n") + "\n    },\n"
-    return out.rstrip(",\n") + "\n]"
+    try:
+        out = "[\n"
+        for comp in vlm_out:
+            out += "    {\n"
+            for key, value in comp.items():
+                out += f"        '{key}': '{value}',\n"
+            out = out.rstrip(",\n") + "\n    },\n"
+        return out.rstrip(",\n") + "\n]"
+    except Exception:
+        # a malformed-but-parseable stage-2 row (non-dict entry) must not
+        # 500 the endpoint — show the repr instead, like a debug pane would
+        return repr(vlm_out)
 
 
 def _vlm_direction_gallery(result) -> list:

@@ -89,6 +89,9 @@ def main():
                          "lora = true rank-r factored adapters "
                          "(train/lora.py, reference PEFT setup)")
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--schedule", choices=("constant", "cosine"),
+                    default="constant")
+    ap.add_argument("--warmup-steps", type=int, default=0)
     ap.add_argument("--log-every", type=int, default=25)
     ap.add_argument("--ckpt-dir", default=None,
                     help="save/resume dir; resumes from the newest "
@@ -135,7 +138,12 @@ def main():
     )
 
     cfg = small_cfg(args.res)
-    tcfg = TrainConfig(learning_rate=args.lr)
+    tcfg = TrainConfig(
+        learning_rate=args.lr,
+        schedule=args.schedule,
+        warmup_steps=args.warmup_steps,
+        total_steps=args.steps if args.schedule == "cosine" else 0,
+    )
     model = SAM2ImageSegmenter(cfg=cfg)
     variables = init_params(model, jax.random.PRNGKey(0))
     n_total = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(variables))

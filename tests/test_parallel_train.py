@@ -438,3 +438,67 @@ class TestFrozenParamsStayFrozen:
                     err_msg=f"frozen param moved: {jtu.keystr(path)}",
                 )
         assert moved_trainable > 0
+
+
+class TestLearningRateSchedule:
+    """learning_rate_schedule (train_step.py): constant default stays a
+    float; warmup ramps from 0; cosine decays to min_lr_ratio·peak."""
+
+    def test_constant_default_is_float(self):
+        from circuitvision_tpu.core.config import TrainConfig
+        from circuitvision_tpu.train.train_step import learning_rate_schedule
+
+        assert learning_rate_schedule(TrainConfig(learning_rate=3e-4)) == 3e-4
+
+    def test_warmup_ramps_then_holds(self):
+        from circuitvision_tpu.core.config import TrainConfig
+        from circuitvision_tpu.train.train_step import learning_rate_schedule
+
+        sched = learning_rate_schedule(
+            TrainConfig(learning_rate=1e-3, warmup_steps=10)
+        )
+        assert float(sched(0)) == 0.0
+        assert 0 < float(sched(5)) < 1e-3
+        np.testing.assert_allclose(float(sched(10)), 1e-3, rtol=1e-6)
+        np.testing.assert_allclose(float(sched(1000)), 1e-3, rtol=1e-6)
+
+    def test_cosine_decays_to_floor(self):
+        from circuitvision_tpu.core.config import TrainConfig
+        from circuitvision_tpu.train.train_step import learning_rate_schedule
+
+        sched = learning_rate_schedule(TrainConfig(
+            learning_rate=1e-3, schedule="cosine", warmup_steps=10,
+            total_steps=100, min_lr_ratio=0.1,
+        ))
+        assert float(sched(0)) == 0.0
+        np.testing.assert_allclose(float(sched(10)), 1e-3, rtol=1e-5)
+        np.testing.assert_allclose(float(sched(100)), 1e-4, rtol=1e-5)
+        assert float(sched(55)) < 1e-3
+
+    def test_cosine_requires_total_steps(self):
+        import pytest
+
+        from circuitvision_tpu.core.config import TrainConfig
+        from circuitvision_tpu.train.train_step import learning_rate_schedule
+
+        with pytest.raises(ValueError, match="total_steps"):
+            learning_rate_schedule(TrainConfig(schedule="cosine"))
+
+    def test_optimizer_first_update_is_zero_under_warmup(self):
+        """With warmup the step-0 update must be exactly zero on the
+        trainable surface too (adam's moment state still advances)."""
+        import optax
+
+        from circuitvision_tpu.core.config import TrainConfig
+        from circuitvision_tpu.train.train_step import learning_rate_schedule
+
+        tx = optax.adam(learning_rate_schedule(
+            TrainConfig(learning_rate=1e-3, warmup_steps=5)
+        ))
+        params = {"w": jnp.ones((4,))}
+        state = tx.init(params)
+        grads = {"w": jnp.full((4,), 0.5)}
+        updates, state = tx.update(grads, state, params)
+        np.testing.assert_array_equal(np.asarray(updates["w"]), 0.0)
+        updates, state = tx.update(grads, state, params)
+        assert float(np.abs(np.asarray(updates["w"])).max()) > 0.0
