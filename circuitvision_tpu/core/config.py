@@ -251,6 +251,16 @@ class TrainConfig:
     warmup_steps: int = 0
     total_steps: int = 0
     min_lr_ratio: float = 0.0
+    #: average gradients over k micro-batches before each optimizer
+    #: update (optax.MultiSteps on the trainable branch only — the
+    #: accumulation buffer costs one copy of the TRAINABLE leaves, not
+    #: the frozen ~78% of SAM2-L). Effective batch = k × device batch;
+    #: total_steps/warmup_steps count optimizer UPDATES, not micro-steps.
+    grad_accum_steps: int = 1
+    #: exponential-moving-average decay for an eval-weights shadow of the
+    #: trainable leaves (0 = off). Standard fine-tune stabilizer; see
+    #: train_step.init_ema/update_ema/ema_params.
+    ema_decay: float = 0.0
     #: rank-r LoRA adapters on the reference's 36 target modules
     #: (src/circuit_analyzer.py:209-211: r=4, alpha=16; lora_dropout=0.3
     #: is a training-time activation regularizer PEFT applies before

@@ -241,7 +241,12 @@ def make_lora_optimizer(cfg: Optional[TrainConfig] = None):
     from .train_step import learning_rate_schedule
 
     cfg = cfg or TrainConfig()
-    return optax.adam(learning_rate_schedule(cfg))
+    tx = optax.adam(learning_rate_schedule(cfg))
+    if cfg.grad_accum_steps > 1:
+        # The whole (lora, direct) state trains, so plain MultiSteps is
+        # already minimal — the accumulation buffer is adapter-sized.
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
+    return tx
 
 
 def _lora_trunk_cutoff(lora: dict) -> int:

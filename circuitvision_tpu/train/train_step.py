@@ -73,11 +73,18 @@ def make_optimizer(
     if mask is None:
         mask = trainable_mask(params)
     labels = jax.tree.map(lambda m: "train" if m else "freeze", mask)
+    train_tx = optax.adam(learning_rate_schedule(cfg))
+    if cfg.grad_accum_steps > 1:
+        # Accumulate inside the "train" branch so the gradient buffer
+        # covers only the trainable leaves (multi_transform partitions
+        # the tree; MultiSteps over the whole tx would shadow-copy the
+        # frozen ~78% of SAM2-L for nothing). Non-update micro-steps
+        # emit zero updates, so params are untouched between flushes.
+        train_tx = optax.MultiSteps(
+            train_tx, every_k_schedule=cfg.grad_accum_steps
+        )
     tx = optax.multi_transform(
-        {
-            "train": optax.adam(learning_rate_schedule(cfg)),
-            "freeze": optax.set_to_zero(),
-        },
+        {"train": train_tx, "freeze": optax.set_to_zero()},
         param_labels=labels,
     )
     return tx, mask
@@ -110,6 +117,40 @@ def learning_rate_schedule(cfg: TrainConfig):
             boundaries=[cfg.warmup_steps],
         )
     return cfg.learning_rate
+
+
+def init_ema(params: dict, mask: Optional[dict] = None) -> list:
+    """EMA shadow of the TRAINABLE leaves only, as a flat list (a valid
+    pytree — jit/shard it alongside params). Frozen leaves never move,
+    so shadowing them would copy the frozen ~78% of SAM2-L for nothing;
+    ema_params() re-merges against the live tree at eval time."""
+    if mask is None:
+        mask = trainable_mask(params)
+    flat = jax.tree_util.tree_leaves(params)
+    flags = jax.tree_util.tree_leaves(mask)
+    return [jnp.asarray(p) for p, t in zip(flat, flags) if t]
+
+
+def update_ema(ema: list, params: dict, mask: dict, decay: float) -> list:
+    """One EMA step over the trainable leaves: e ← d·e + (1−d)·p.
+    Pure/jittable; call after each OPTIMIZER update (with gradient
+    accumulation, after each flush — non-update micro-steps leave params
+    unchanged, and folding them in would only bias the average toward
+    stale values)."""
+    flat = jax.tree_util.tree_leaves(params)
+    flags = jax.tree_util.tree_leaves(mask)
+    train = [p for p, t in zip(flat, flags) if t]
+    return [decay * e + (1.0 - decay) * p for e, p in zip(ema, train)]
+
+
+def ema_params(params: dict, ema: list, mask: dict) -> dict:
+    """Eval-weights tree: trainable leaves from the EMA shadow, frozen
+    leaves from the live tree (they are identical by construction)."""
+    flat, treedef = jax.tree_util.tree_flatten(params)
+    flags = jax.tree_util.tree_leaves(mask)
+    it = iter(ema)
+    merged = [next(it) if t else p for p, t in zip(flat, flags)]
+    return jax.tree_util.tree_unflatten(treedef, merged)
 
 
 def _trunk_diff_cutoff(mask: dict) -> int:

@@ -149,7 +149,14 @@ async function runSpice(){
 
 def _format_vlm_output(vlm_out) -> str:
     """The reference's raw-VLM display formatting (app.py:780-789):
-    python-ish list-of-dicts text, every key/value single-quoted."""
+    python-ish list-of-dicts text, every key/value single-quoted.
+
+    HTML-escaped: the page injects this via innerHTML inside a <pre>,
+    and the text comes verbatim from an EXTERNAL model's response — a
+    reply containing markup must render as text, not execute (the
+    reference's Streamlit st.code escapes implicitly)."""
+    import html
+
     if not vlm_out:
         return ""
     try:
@@ -159,16 +166,21 @@ def _format_vlm_output(vlm_out) -> str:
             for key, value in comp.items():
                 out += f"        '{key}': '{value}',\n"
             out = out.rstrip(",\n") + "\n    },\n"
-        return out.rstrip(",\n") + "\n]"
+        # quote=False: this lands in a <pre> TEXT node, where only &, <, >
+        # are active — keeping quotes literal preserves the reference's
+        # exact displayed text (single-quoted keys/values)
+        return html.escape(out.rstrip(",\n") + "\n]", quote=False)
     except Exception:
         # a malformed-but-parseable stage-2 row (non-dict entry) must not
         # 500 the endpoint — show the repr instead, like a debug pane would
-        return repr(vlm_out)
+        return html.escape(repr(vlm_out), quote=False)
 
 
 def _vlm_direction_gallery(result) -> list:
     """Per-component VLM direction crops + interpreted type — the
     reference's "Debug: Source Directions" expander (app.py:643-683)."""
+    import html
+
     from .core import taxonomy
 
     out = []
@@ -188,13 +200,16 @@ def _vlm_direction_gallery(result) -> list:
             and b.semantic_reason == "SIGN"
         ):
             interpreted = "voltage.ac" if ".ac" in b.class_name else "voltage.dc"
+        # direction/reason are raw (upper-cased) external-VLM text, not a
+        # closed vocabulary (enrich/client.py GeminiVLMClient.get_direction)
+        # and the page renders them via innerHTML — escape server-side.
         out.append(
             {
                 "uid": uid,
-                "class": b.class_name,
-                "direction": b.semantic_direction,
-                "reason": b.semantic_reason,
-                "interpreted": interpreted,
+                "class": html.escape(b.class_name, quote=False),
+                "direction": html.escape(str(b.semantic_direction), quote=False),
+                "reason": html.escape(str(b.semantic_reason), quote=False),
+                "interpreted": html.escape(interpreted, quote=False),
                 "img": _png_b64(result.vlm_direction_crops[uid]),
             }
         )

@@ -92,6 +92,13 @@ def main():
     ap.add_argument("--schedule", choices=("constant", "cosine"),
                     default="constant")
     ap.add_argument("--warmup-steps", type=int, default=0)
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="average gradients over k micro-batches per "
+                         "optimizer update (effective batch = k x --batch)")
+    ap.add_argument("--ema-decay", type=float, default=0.0,
+                    help="EMA decay for an eval-weights shadow of the "
+                         "trainable leaves (0 = off); final IoU is "
+                         "reported for both raw and EMA weights")
     ap.add_argument("--log-every", type=int, default=25)
     ap.add_argument("--ckpt-dir", default=None,
                     help="save/resume dir; resumes from the newest "
@@ -143,6 +150,8 @@ def main():
         schedule=args.schedule,
         warmup_steps=args.warmup_steps,
         total_steps=args.steps if args.schedule == "cosine" else 0,
+        grad_accum_steps=args.grad_accum,
+        ema_decay=args.ema_decay,
     )
     model = SAM2ImageSegmenter(cfg=cfg)
     variables = init_params(model, jax.random.PRNGKey(0))
@@ -191,6 +200,22 @@ def main():
 
         tx, _ = make_optimizer(variables, tcfg, mask=mask)
         opt_state = tx.init(variables)
+
+    ema_state = None
+    if args.ema_decay > 0.0:
+        if args.surface == "lora":
+            raise SystemExit("--ema-decay with --surface lora is not "
+                             "wired in this demo")
+        from circuitvision_tpu.train.train_step import (
+            ema_params,
+            init_ema,
+            update_ema,
+        )
+
+        ema_state = init_ema(variables, mask)
+        ema_step_fn = jax.jit(
+            lambda e, p: update_ema(e, p, mask, args.ema_decay)
+        )
 
     mesh = None
     if args.surface == "lora":
@@ -307,6 +332,11 @@ def main():
         variables, opt_state, metrics = step(
             variables, opt_state, images, masks_b
         )
+        if ema_state is not None and (i - start_step + 1) % args.grad_accum == 0:
+            # with accumulation, track only flush steps (params are
+            # unchanged between flushes; folding those in would bias
+            # the average toward stale values)
+            ema_state = ema_step_fn(ema_state, variables)
         if i % args.log_every == 0 or i == args.steps - 1:
             loss = float(metrics["loss"])
             if loss_first is None:
@@ -319,6 +349,10 @@ def main():
             save_train_state(args.ckpt_dir, i + 1, variables, opt_state)
             prune_checkpoints(args.ckpt_dir, keep=args.keep)
     iou1 = eval_iou(variables)
+    if ema_state is not None:
+        print(f"held-out wire IoU with EMA weights "
+              f"(decay {args.ema_decay:g}): "
+              f"{eval_iou(ema_params(variables, ema_state, mask)):.4f}")
     dt = time.time() - t0
     if loss is None:  # resumed at/after --steps; nothing trained this run
         print(f"held-out wire IoU at restore: {iou1:.4f}")

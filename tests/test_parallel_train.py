@@ -502,3 +502,166 @@ class TestLearningRateSchedule:
         np.testing.assert_array_equal(np.asarray(updates["w"]), 0.0)
         updates, state = tx.update(grads, state, params)
         assert float(np.abs(np.asarray(updates["w"])).max()) > 0.0
+
+
+class TestGradAccumulation:
+    """cfg.grad_accum_steps wraps the trainable branch in optax.MultiSteps
+    (train_step.make_optimizer): k micro-batches average into one
+    optimizer update, frozen leaves stay zero-routed, and the
+    accumulation buffer exists only for the trainable leaves."""
+
+    def _toy(self):
+        # a fake two-leaf "model": one trainable, one frozen
+        params = {"train_w": jnp.ones((3,)), "frozen_w": jnp.ones((3,))}
+        mask = {"train_w": True, "frozen_w": False}
+        return params, mask
+
+    def test_k_microbatches_equal_one_meangrad_step(self):
+        import optax
+
+        from circuitvision_tpu.core.config import TrainConfig
+        from circuitvision_tpu.train.train_step import make_optimizer
+
+        params, mask = self._toy()
+        g1 = {"train_w": jnp.full((3,), 0.2), "frozen_w": jnp.full((3,), 9.0)}
+        g2 = {"train_w": jnp.full((3,), 0.6), "frozen_w": jnp.full((3,), -9.0)}
+
+        tx_acc, _ = make_optimizer(
+            params, TrainConfig(grad_accum_steps=2), mask=mask
+        )
+        st = tx_acc.init(params)
+        p = params
+        for g in (g1, g2):
+            up, st = tx_acc.update(g, st, p)
+            p = optax.apply_updates(p, up)
+
+        tx_ref, _ = make_optimizer(params, TrainConfig(), mask=mask)
+        st_ref = tx_ref.init(params)
+        gmean = jax.tree.map(lambda a, b: (a + b) / 2.0, g1, g2)
+        up_ref, _ = tx_ref.update(gmean, st_ref, params)
+        p_ref = optax.apply_updates(params, up_ref)
+
+        np.testing.assert_allclose(
+            np.asarray(p["train_w"]), np.asarray(p_ref["train_w"]), rtol=1e-6
+        )
+
+    def test_params_frozen_between_flushes(self):
+        import optax
+
+        from circuitvision_tpu.core.config import TrainConfig
+        from circuitvision_tpu.train.train_step import make_optimizer
+
+        params, mask = self._toy()
+        g = {"train_w": jnp.full((3,), 0.5), "frozen_w": jnp.full((3,), 2.0)}
+        tx, _ = make_optimizer(
+            params, TrainConfig(grad_accum_steps=3), mask=mask
+        )
+        st = tx.init(params)
+        up, st = tx.update(g, st, params)  # micro-step 1 of 3: no update
+        p1 = optax.apply_updates(params, up)
+        np.testing.assert_array_equal(
+            np.asarray(p1["train_w"]), np.asarray(params["train_w"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(p1["frozen_w"]), np.asarray(params["frozen_w"])
+        )
+
+    def test_frozen_leaves_never_move_across_flush(self):
+        import optax
+
+        from circuitvision_tpu.core.config import TrainConfig
+        from circuitvision_tpu.train.train_step import make_optimizer
+
+        params, mask = self._toy()
+        g = {"train_w": jnp.full((3,), 0.5), "frozen_w": jnp.full((3,), 2.0)}
+        tx, _ = make_optimizer(
+            params, TrainConfig(grad_accum_steps=2), mask=mask
+        )
+        st = tx.init(params)
+        p = params
+        for _ in range(4):  # two full flush cycles
+            up, st = tx.update(g, st, p)
+            p = optax.apply_updates(p, up)
+        np.testing.assert_array_equal(
+            np.asarray(p["frozen_w"]), np.asarray(params["frozen_w"])
+        )
+        assert float(np.abs(np.asarray(p["train_w"] - params["train_w"])).max()) > 0
+
+    def test_lora_optimizer_accumulates(self):
+        import optax
+
+        from circuitvision_tpu.core.config import TrainConfig
+        from circuitvision_tpu.train.lora import make_lora_optimizer
+
+        tx = make_lora_optimizer(TrainConfig(grad_accum_steps=2))
+        params = {"a": jnp.ones((2,))}
+        st = tx.init(params)
+        up, st = tx.update({"a": jnp.full((2,), 0.3)}, st, params)
+        np.testing.assert_array_equal(np.asarray(up["a"]), 0.0)  # buffered
+        up, st = tx.update({"a": jnp.full((2,), 0.3)}, st, params)
+        assert float(np.abs(np.asarray(up["a"])).max()) > 0.0  # flushed
+
+
+class TestEMA:
+    """init_ema/update_ema/ema_params (train_step.py): a shadow of the
+    TRAINABLE leaves only, merged back over the live tree for eval."""
+
+    def _toy(self):
+        params = {"train_w": jnp.ones((3,)), "frozen_w": jnp.full((3,), 7.0)}
+        mask = {"train_w": True, "frozen_w": False}
+        return params, mask
+
+    def test_shadow_covers_trainable_leaves_only(self):
+        from circuitvision_tpu.train.train_step import init_ema
+
+        params, mask = self._toy()
+        ema = init_ema(params, mask)
+        assert len(ema) == 1
+        np.testing.assert_array_equal(np.asarray(ema[0]), 1.0)
+
+    def test_update_math_and_merge(self):
+        from circuitvision_tpu.train.train_step import (
+            ema_params,
+            init_ema,
+            update_ema,
+        )
+
+        params, mask = self._toy()
+        ema = init_ema(params, mask)
+        moved = {
+            "train_w": jnp.full((3,), 2.0),
+            "frozen_w": params["frozen_w"],
+        }
+        ema = update_ema(ema, moved, mask, decay=0.9)
+        # 0.9·1 + 0.1·2 = 1.1
+        np.testing.assert_allclose(np.asarray(ema[0]), 1.1, rtol=1e-6)
+        merged = ema_params(moved, ema, mask)
+        np.testing.assert_allclose(np.asarray(merged["train_w"]), 1.1)
+        # frozen leaf comes from the live tree untouched
+        np.testing.assert_array_equal(np.asarray(merged["frozen_w"]), 7.0)
+
+    def test_jittable(self):
+        from circuitvision_tpu.train.train_step import init_ema, update_ema
+
+        params, mask = self._toy()
+        ema = init_ema(params, mask)
+        f = jax.jit(lambda e, p: update_ema(e, p, mask, 0.5))
+        out = f(ema, params)
+        np.testing.assert_allclose(np.asarray(out[0]), 1.0)
+
+    def test_default_mask_is_reference_surface(self):
+        """init_ema with no mask uses trainable_mask — on the real tiny
+        SAM2 tree the shadow is a strict subset of the leaves."""
+        from circuitvision_tpu.models.sam2.wrapper import (
+            SAM2ImageSegmenter,
+            init_params,
+        )
+        from circuitvision_tpu.train.train_step import init_ema
+
+        cfg = _tiny_cfg()
+        variables = init_params(
+            SAM2ImageSegmenter(cfg=cfg), jax.random.PRNGKey(0)
+        )
+        ema = init_ema(variables)
+        n_all = len(jax.tree.leaves(variables))
+        assert 0 < len(ema) < n_all

@@ -78,11 +78,14 @@ class TestWebApp:
         buf = io.BytesIO()
         Image.fromarray(img).save(buf, format="PNG")
         _post(server + "/analyze", buf.getvalue())
+        # the random-weight detector may find nothing → no enum image →
+        # stage 2 skipped by the ladder; inject one so the VLM path runs
+        # deterministically over real HTTP
+        with webapp._STATE["lock"]:
+            webapp._STATE["result"].enum_image = img
         out = _post(server + "/final", b"")
-        assert "vlm_raw" in out
-        if out["vlm_raw"]:  # FakeVLMClient returned labels
-            assert out["vlm_raw"].startswith("[\n    {\n")
-            assert "'class': 'resistor'" in out["vlm_raw"]
+        assert out["vlm_raw"].startswith("[\n    {\n")
+        assert "'class': 'resistor'" in out["vlm_raw"]
 
     def test_vlm_direction_gallery(self, server):
         """With oracle detections incl. a voltage source, the analyze
@@ -144,3 +147,44 @@ class TestWebApp:
         with urllib.request.urlopen(server + "/device", timeout=60) as resp:
             out = json.loads(resp.read())
         assert "device" in out and "×" in out["device"]
+
+
+class TestVlmTextEscaping:
+    """External-VLM text renders via innerHTML in the debug page; it must
+    arrive HTML-escaped from the server so a hostile/markup-bearing model
+    response displays as text instead of executing (the reference's
+    Streamlit st.code/st.markdown escape implicitly)."""
+
+    def test_format_vlm_output_escapes_markup(self):
+        out = webapp._format_vlm_output(
+            [{"id": "1", "class": "<script>alert(1)</script>", "value": None}]
+        )
+        assert "<script>" not in out
+        assert "&lt;script&gt;alert(1)&lt;/script&gt;" in out
+        # reference formatting shape is preserved (app.py:780-789)
+        assert out.startswith("[\n    {\n")
+
+    def test_format_vlm_output_nondict_row_escaped(self):
+        out = webapp._format_vlm_output(["<img onerror=x src=y>"])
+        assert "<img" not in out and "&lt;img" in out
+
+    def test_direction_gallery_escapes_vlm_fields(self):
+        from circuitvision_tpu.core.types import AnalysisResult, BBox
+
+        crop = np.zeros((4, 4, 3), np.uint8)
+        box = BBox(
+            class_name="voltage.dc", confidence=0.9,
+            xmin=0, ymin=0, xmax=4, ymax=4,
+            persistent_uid="voltage.dc_0_0_4_4",
+        )
+        # raw VLM reply carrying markup (client upper-cases but does not
+        # restrict to the UP/DOWN/LEFT/RIGHT vocabulary)
+        box.semantic_direction = "<B ONCLICK=X>UP"
+        box.semantic_reason = "SIGN"
+        result = AnalysisResult(original_image=crop)
+        result.bboxes = [box]
+        result.vlm_direction_crops = {box.persistent_uid: crop}
+        gallery = webapp._vlm_direction_gallery(result)
+        assert len(gallery) == 1
+        assert "<" not in gallery[0]["direction"]
+        assert "&lt;B ONCLICK=X&gt;UP" == gallery[0]["direction"]
