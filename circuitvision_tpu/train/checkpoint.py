@@ -45,12 +45,20 @@ def _marker(path: str) -> str:
     return path + ".DONE"
 
 
-def _payload(params: Any, opt_state: Any) -> dict:
+def _payload(params: Any, opt_state: Any, extra: Any = None) -> dict:
     opt_leaves = jax.tree_util.tree_leaves(opt_state)
-    return {"params": params, "opt_leaves": list(opt_leaves)}
+    payload = {"params": params, "opt_leaves": list(opt_leaves)}
+    if extra is not None:
+        # auxiliary train-loop state (e.g. the EMA shadow from
+        # train_step.init_ema) saved/restored alongside, leaf-flattened
+        # for the same structure-agnostic round-trip as opt_state
+        payload["extra_leaves"] = list(jax.tree_util.tree_leaves(extra))
+    return payload
 
 
-def save_train_state(ckpt_dir: str, step: int, params: Any, opt_state: Any) -> str:
+def save_train_state(
+    ckpt_dir: str, step: int, params: Any, opt_state: Any, extra: Any = None
+) -> str:
     """Write checkpoint for `step` under ckpt_dir; returns the path.
 
     Atomic at the granularity `latest_checkpoint` observes: the commit
@@ -61,7 +69,9 @@ def save_train_state(ckpt_dir: str, step: int, params: Any, opt_state: Any) -> s
     os.makedirs(os.path.dirname(path), exist_ok=True)
     if os.path.exists(_marker(path)):
         os.remove(_marker(path))
-    ocp.PyTreeCheckpointer().save(path, _payload(params, opt_state), force=True)
+    ocp.PyTreeCheckpointer().save(
+        path, _payload(params, opt_state, extra), force=True
+    )
     with open(_marker(path), "w") as f:
         f.write(str(step))
     return path
@@ -83,16 +93,25 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[Tuple[int, str]]:
     return best
 
 
-def restore_train_state(path: str, params: Any, opt_state: Any) -> Tuple[Any, Any]:
-    """Restore (params, opt_state) from a checkpoint path onto templates.
+def restore_train_state(
+    path: str, params: Any, opt_state: Any, extra: Any = None
+):
+    """Restore (params, opt_state[, extra]) from a checkpoint path onto
+    templates.
 
     `params`/`opt_state` are freshly initialized trees (model init +
     tx.init) providing structure, dtypes, and placement; every restored
     leaf is cast to the template leaf's dtype and device_put to its
-    sharding, so resuming under a mesh re-shards in one step."""
+    sharding, so resuming under a mesh re-shards in one step.
+
+    `extra`: optional template for auxiliary state saved with the same
+    keyword (e.g. the EMA shadow). When given, the return value is the
+    3-tuple (params, opt_state, extra); a checkpoint written without
+    extra state (or vice versa) fails with a structure error — save and
+    restore must agree on whether the loop carries it."""
     import orbax.checkpoint as ocp
 
-    template = _payload(params, opt_state)
+    template = _payload(params, opt_state, extra)
     restore_args = jax.tree_util.tree_map(
         lambda x: ocp.ArrayRestoreArgs(dtype=np.asarray(x).dtype), template
     )
@@ -102,8 +121,9 @@ def restore_train_state(path: str, params: Any, opt_state: Any) -> Tuple[Any, An
         )
     except ValueError as e:
         raise ValueError(
-            "checkpoint tree does not match the templates — optimizer or "
-            f"model config changed since save: {e}"
+            "checkpoint tree does not match the templates — optimizer/"
+            "model config changed since save, or the checkpoint and the "
+            f"restore call disagree on extra (EMA) state: {e}"
         ) from e
 
     def place(r, t):
@@ -126,7 +146,20 @@ def restore_train_state(path: str, params: Any, opt_state: Any) -> Tuple[Any, An
     new_opt_leaves = [
         place(r, t) for r, t in zip(restored["opt_leaves"], opt_leaves)
     ]
-    return new_params, jax.tree_util.tree_unflatten(treedef, new_opt_leaves)
+    new_opt = jax.tree_util.tree_unflatten(treedef, new_opt_leaves)
+    if extra is None:
+        return new_params, new_opt
+    extra_leaves, extra_def = jax.tree_util.tree_flatten(extra)
+    saved = restored.get("extra_leaves")
+    if saved is None or len(saved) != len(extra_leaves):
+        raise ValueError(
+            f"extra-state template has {len(extra_leaves)} leaves; "
+            f"checkpoint has {0 if saved is None else len(saved)}"
+        )
+    new_extra = jax.tree_util.tree_unflatten(
+        extra_def, [place(r, t) for r, t in zip(saved, extra_leaves)]
+    )
+    return new_params, new_opt, new_extra
 
 
 def prune_checkpoints(ckpt_dir: str, keep: int) -> None:

@@ -259,9 +259,14 @@ def main():
         found = latest_checkpoint(args.ckpt_dir)
         if found:
             start_step = found[0]
-            variables, opt_state = restore_train_state(
-                found[1], variables, opt_state
-            )
+            if ema_state is not None:
+                variables, opt_state, ema_state = restore_train_state(
+                    found[1], variables, opt_state, extra=ema_state
+                )
+            else:
+                variables, opt_state = restore_train_state(
+                    found[1], variables, opt_state
+                )
             print(f"resumed from {found[1]} (step {start_step})")
 
     fwd = jax.jit(lambda v, x: model.apply(v, x)[0])
@@ -346,7 +351,8 @@ def main():
         if args.ckpt_dir and (
             (i + 1) % args.save_every == 0 or i == args.steps - 1
         ):
-            save_train_state(args.ckpt_dir, i + 1, variables, opt_state)
+            save_train_state(args.ckpt_dir, i + 1, variables, opt_state,
+                             extra=ema_state)
             prune_checkpoints(args.ckpt_dir, keep=args.keep)
     iou1 = eval_iou(variables)
     if ema_state is not None:

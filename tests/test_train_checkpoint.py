@@ -172,3 +172,54 @@ class TestShardedRestore:
         # adam moments restored too (zeros here, but structure/placement hold)
         assert jax.tree_util.tree_structure(restored_opt) == \
             jax.tree_util.tree_structure(templ_opt)
+
+
+class TestExtraState:
+    """save/restore_train_state(extra=...): auxiliary loop state (the EMA
+    shadow) round-trips alongside (params, opt_state); save and restore
+    must agree on whether it exists."""
+
+    def _tiny_state(self):
+        params = {"w": jnp.arange(4.0), "b": jnp.ones((2,))}
+        tx = optax.adam(1e-3)
+        return params, tx.init(params)
+
+    def test_extra_round_trips(self, tmp_path):
+        params, opt_state = self._tiny_state()
+        ema = [jnp.full((4,), 2.5), jnp.full((2,), 0.5)]
+        save_train_state(str(tmp_path), 3, params, opt_state, extra=ema)
+        found = latest_checkpoint(str(tmp_path))
+        template = [jnp.zeros((4,)), jnp.zeros((2,))]
+        p2, o2, e2 = restore_train_state(
+            found[1], params, opt_state, extra=template
+        )
+        np.testing.assert_array_equal(np.asarray(e2[0]), 2.5)
+        np.testing.assert_array_equal(np.asarray(e2[1]), 0.5)
+        np.testing.assert_array_equal(np.asarray(p2["w"]), np.arange(4.0))
+
+    def test_without_extra_still_two_tuple(self, tmp_path):
+        params, opt_state = self._tiny_state()
+        save_train_state(str(tmp_path), 1, params, opt_state)
+        found = latest_checkpoint(str(tmp_path))
+        out = restore_train_state(found[1], params, opt_state)
+        assert len(out) == 2
+
+    def test_extra_leaf_count_mismatch_raises(self, tmp_path):
+        params, opt_state = self._tiny_state()
+        ema = [jnp.zeros((4,))]
+        save_train_state(str(tmp_path), 1, params, opt_state, extra=ema)
+        found = latest_checkpoint(str(tmp_path))
+        with pytest.raises(ValueError):
+            restore_train_state(
+                found[1], params, opt_state,
+                extra=[jnp.zeros((4,)), jnp.zeros((2,))],
+            )
+
+    def test_restore_missing_extra_raises(self, tmp_path):
+        params, opt_state = self._tiny_state()
+        save_train_state(str(tmp_path), 1, params, opt_state)
+        found = latest_checkpoint(str(tmp_path))
+        with pytest.raises(ValueError):
+            restore_train_state(
+                found[1], params, opt_state, extra=[jnp.zeros((4,))]
+            )
