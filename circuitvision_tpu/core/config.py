@@ -269,6 +269,15 @@ class TrainConfig:
     lora_rank: int = 4
     lora_alpha: float = 16.0
 
+    def __post_init__(self):
+        # grad_accum_steps < 1 would silently disable accumulation in
+        # make_optimizer (its `> 1` gate) while callers still divide or
+        # modulo by it (ZeroDivisionError at 0, nonsense at negatives).
+        if self.grad_accum_steps < 1:
+            raise ValueError(
+                f"grad_accum_steps must be >= 1, got {self.grad_accum_steps}"
+            )
+
 
 @dataclasses.dataclass(frozen=True)
 class PipelineConfig:

@@ -72,6 +72,34 @@ def make_batch(rng_seed: int, n: int, res: int):
     return jnp.asarray(imgs), jnp.asarray(masks)
 
 
+def multisteps_mini_step(opt_state) -> int:
+    """micro-steps accumulated since the last flush in the MultiSteps
+    state buried inside the multi_transform optimizer state (0 when no
+    accumulation is configured). Used to phase EMA flush detection:
+    the counter is part of the checkpoint, so after a resume from a
+    save step that is not a multiple of --grad-accum, `(i+1) % k` would
+    drift from the actual flush cadence."""
+    found = []
+
+    def walk(o):
+        if found:
+            return
+        if hasattr(o, "mini_step") and hasattr(o, "gradient_step"):
+            found.append(int(np.asarray(o.mini_step)))
+        elif hasattr(o, "_fields"):
+            for f in o._fields:
+                walk(getattr(o, f))
+        elif isinstance(o, dict):
+            for v in o.values():
+                walk(v)
+        elif isinstance(o, (list, tuple)):
+            for v in o:
+                walk(v)
+
+    walk(opt_state)
+    return found[0] if found else 0
+
+
 def mask_iou(pred: np.ndarray, gt: np.ndarray) -> float:
     inter = float(np.logical_and(pred, gt).sum())
     union = float(np.logical_or(pred, gt).sum())
@@ -91,7 +119,10 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--schedule", choices=("constant", "cosine"),
                     default="constant")
-    ap.add_argument("--warmup-steps", type=int, default=0)
+    ap.add_argument("--warmup-steps", type=int, default=0,
+                    help="linear LR warmup length, counted in optimizer "
+                         "UPDATES (with --grad-accum k, one update per k "
+                         "micro-steps)")
     ap.add_argument("--grad-accum", type=int, default=1,
                     help="average gradients over k micro-batches per "
                          "optimizer update (effective batch = k x --batch)")
@@ -145,11 +176,17 @@ def main():
     )
 
     cfg = small_cfg(args.res)
+    # TrainConfig's total_steps/warmup_steps count optimizer UPDATES:
+    # MultiSteps advances the inner schedule only on flush, so with
+    # --grad-accum k the k micro-steps of --steps collapse into
+    # steps//k updates — pass that, or the cosine would traverse only
+    # 1/k of its curve. --warmup-steps is likewise update-counted.
+    n_updates = max(1, args.steps // max(1, args.grad_accum))
     tcfg = TrainConfig(
         learning_rate=args.lr,
         schedule=args.schedule,
         warmup_steps=args.warmup_steps,
-        total_steps=args.steps if args.schedule == "cosine" else 0,
+        total_steps=n_updates if args.schedule == "cosine" else 0,
         grad_accum_steps=args.grad_accum,
         ema_decay=args.ema_decay,
     )
@@ -269,6 +306,12 @@ def main():
                 )
             print(f"resumed from {found[1]} (step {start_step})")
 
+    # Flush-phase offset for EMA tracking: micro-steps already sitting in
+    # the (possibly checkpoint-restored) MultiSteps accumulator.
+    ema_mini0 = 0
+    if ema_state is not None and args.grad_accum > 1:
+        ema_mini0 = multisteps_mini_step(opt_state)
+
     fwd = jax.jit(lambda v, x: model.apply(v, x)[0])
 
     data_iter = None
@@ -337,10 +380,15 @@ def main():
         variables, opt_state, metrics = step(
             variables, opt_state, images, masks_b
         )
-        if ema_state is not None and (i - start_step + 1) % args.grad_accum == 0:
+        if ema_state is not None and (
+            ema_mini0 + i - start_step + 1
+        ) % args.grad_accum == 0:
             # with accumulation, track only flush steps (params are
             # unchanged between flushes; folding those in would bias
-            # the average toward stale values)
+            # the average toward stale values). ema_mini0 phases the
+            # cadence to the restored MultiSteps counter so resumes
+            # from a non-multiple-of-k save step stay aligned with the
+            # optimizer's actual flushes.
             ema_state = ema_step_fn(ema_state, variables)
         if i % args.log_every == 0 or i == args.steps - 1:
             loss = float(metrics["loss"])

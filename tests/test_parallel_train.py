@@ -516,7 +516,39 @@ class TestGradAccumulation:
         mask = {"train_w": True, "frozen_w": False}
         return params, mask
 
+    @staticmethod
+    def _find_multisteps_state(opt_state):
+        """The MultiStepsState buried inside the multi_transform state."""
+        found = []
+
+        def walk(o):
+            if found:
+                return
+            if hasattr(o, "acc_grads") and hasattr(o, "mini_step"):
+                found.append(o)
+            elif hasattr(o, "_fields"):
+                for f in o._fields:
+                    walk(getattr(o, f))
+            elif isinstance(o, dict):
+                for v in o.values():
+                    walk(v)
+            elif isinstance(o, (list, tuple)):
+                for v in o:
+                    walk(v)
+
+        walk(opt_state)
+        assert found, "no MultiSteps state in the optimizer tree"
+        return found[0]
+
     def test_k_microbatches_equal_one_meangrad_step(self):
+        """Param equality vs a single mean-grad Adam step cannot by
+        itself pin MEAN accumulation — Adam's update is invariant to a
+        uniform gradient scale (sum = mean × k scales m by k and v by
+        k², canceling in m/√v up to eps), so a summing accumulator
+        would pass that check too. The discriminating assertion is on
+        the MultiSteps accumulation buffer itself mid-cycle: after two
+        of k=3 micro-steps it must hold the running MEAN of the
+        micro-gradients, not their sum."""
         import optax
 
         from circuitvision_tpu.core.config import TrainConfig
@@ -526,6 +558,18 @@ class TestGradAccumulation:
         g1 = {"train_w": jnp.full((3,), 0.2), "frozen_w": jnp.full((3,), 9.0)}
         g2 = {"train_w": jnp.full((3,), 0.6), "frozen_w": jnp.full((3,), -9.0)}
 
+        # --- discriminating check: the accumulator is a running mean ---
+        tx3, _ = make_optimizer(
+            params, TrainConfig(grad_accum_steps=3), mask=mask
+        )
+        st3 = tx3.init(params)
+        _, st3 = tx3.update(g1, st3, params)
+        _, st3 = tx3.update(g2, st3, params)
+        ms = self._find_multisteps_state(st3)
+        acc = np.asarray(jax.tree_util.tree_leaves(ms.acc_grads)[0])
+        np.testing.assert_allclose(acc, 0.4, rtol=1e-6)  # mean, not 0.8 sum
+
+        # --- end-to-end: k micro-steps == one step on the mean grad ---
         tx_acc, _ = make_optimizer(
             params, TrainConfig(grad_accum_steps=2), mask=mask
         )

@@ -223,3 +223,15 @@ class TestExtraState:
             restore_train_state(
                 found[1], params, opt_state, extra=[jnp.zeros((4,))]
             )
+
+    def test_saved_extra_restored_without_raises(self, tmp_path):
+        """The other direction of the agreement contract: a checkpoint
+        written WITH extra state restored WITHOUT it must fail loudly
+        (silently dropping the EMA shadow on resume would be the bug) —
+        orbax's template-driven restore rejects the key mismatch."""
+        params, opt_state = self._tiny_state()
+        ema = [jnp.full((4,), 2.5), jnp.full((2,), 0.5)]
+        save_train_state(str(tmp_path), 1, params, opt_state, extra=ema)
+        found = latest_checkpoint(str(tmp_path))
+        with pytest.raises(ValueError, match="extra"):
+            restore_train_state(found[1], params, opt_state)
