@@ -381,6 +381,31 @@ def main():
         "vs_baseline": round(imgs_per_sec / (per_chip_target * n_dev), 3),
     }
 
+    # Whole-model MFU (VERDICT r3 #8): analytic matmul/conv FLOPs of the
+    # device step (jaxpr walk over the module path — identical math to
+    # the fused kernels) against the device's peak bf16 throughput, so
+    # perf is also visible hardware-normalized rather than only as
+    # img/s over a variable-latency tunnel. Cached after first compute
+    # (tracing SAM2-L costs ~1 min on a 1-core host).
+    try:
+        from circuitvision_tpu.models.flops import (
+            device_peak_flops,
+            sam2_forward_flops,
+            yolo_forward_flops,
+        )
+
+        peak = device_peak_flops(devices[0])
+        if peak is not None:
+            flops_per_img = sam2_forward_flops(sam_cfg) + yolo_forward_flops(
+                det_cfg
+            )
+            result["flops_per_image"] = round(flops_per_img / 1e9, 2)  # GFLOP
+            result["mfu"] = round(
+                imgs_per_sec * flops_per_img / (peak * n_dev), 4
+            )
+    except Exception as e:  # never let accounting sink the artifact
+        result["mfu_error"] = f"{type(e).__name__}: {e}"
+
     if not args.skip_e2e:
         e2e, phases = bench_end_to_end(
             det_cfg, sam_cfg, yolo_vars, sam_vars, args.batch or args.e2e_batch,

@@ -1,0 +1,152 @@
+"""Serving client for the trained crop reader (train/reader.py).
+
+Implements the same duck-typed batch hooks the pipeline already uses
+for the on-TPU PaliGemma head (`get_directions_batch`,
+`get_labels_batch*`), so the complete product — image → netlist WITH
+directions AND values — runs with zero external calls and REAL
+semantics (the reader is trained to read the rendered schematic
+grammar; held-out exact-match is measured by
+scripts/train_reader_demo.py).
+
+Unlike the black-box HTTP VLM (src/utils.py:184-285), which must read
+the red enumeration digits off the whole image, this client receives
+the enumerated boxes the pipeline itself drew (visual id → component is
+already known), crops each component + its printed value, and answers
+with ONE static-shape batched forward per chunk.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..core import taxonomy
+from ..core.types import BBox
+from ..train.reader import (
+    CROP_PAD,
+    DIRECTIONS,
+    CropReader,
+    ReaderConfig,
+    decode_value,
+    make_crop,
+)
+
+logger = logging.getLogger(__name__)
+
+#: pad→power-of-two batch buckets so variable component counts reuse a
+#: handful of compiled programs (same scheme as the PaliGemma reader).
+_BUCKETS = (8, 16, 32, 64, 128, 256)
+
+
+def _reason_for(cls: str) -> str:
+    """SIGN for +/−-marked sources, ARROW for arrow/triangle classes —
+    the two evidence kinds the reference's direction VLM distinguishes
+    (src/circuit_analyzer.py:2051-2097)."""
+    if cls in taxonomy.DIODE_CLASSES or cls in taxonomy.CURRENT_SOURCE_CLASSES:
+        return "ARROW"
+    return "SIGN"
+
+
+class TrainedReaderClient:
+    """VLMClient-compatible reader backed by a trained CropReader."""
+
+    def __init__(self, params, cfg: Optional[ReaderConfig] = None):
+        import jax
+
+        self.cfg = cfg or ReaderConfig()
+        self.model = CropReader(self.cfg)
+        self.params = params
+        self._fwd = jax.jit(
+            lambda p, x: self.model.apply(p, x.astype(np.float32) / 255.0)
+        )
+
+    # -- core batched read ------------------------------------------------
+    def _read_crops(self, crops: np.ndarray):
+        """(N, S, S, 3) u8 → (class names, value strings, directions)."""
+        import jax.numpy as jnp
+
+        n = crops.shape[0]
+        bucket = next((b for b in _BUCKETS if b >= n), n)
+        if bucket > n:
+            pad = np.zeros((bucket - n, *crops.shape[1:]), crops.dtype)
+            crops = np.concatenate([crops, pad], axis=0)
+        cls_logits, val_logits, dir_logits = self._fwd(
+            self.params, jnp.asarray(crops)
+        )
+        cls_ids = np.asarray(cls_logits.argmax(-1))[:n]
+        val_codes = np.asarray(val_logits.argmax(-1))[:n]
+        dir_ids = np.asarray(dir_logits.argmax(-1))[:n]
+        classes = [taxonomy.ID_TO_NAME.get(int(c), "unknown") for c in cls_ids]
+        values = [decode_value(v) for v in val_codes]
+        dirs = [DIRECTIONS[int(d)] for d in dir_ids]
+        return classes, values, dirs
+
+    # -- stage-2 value pass ----------------------------------------------
+    def get_labels_batch_boxes(
+        self,
+        enum_images: Sequence[np.ndarray],
+        enum_boxes_lists: Sequence[Sequence[BBox]],
+    ) -> list[Optional[list[dict]]]:
+        """Chunk read: every enumerated component of every image in one
+        forward. Returns per-image [{'id','class','value'}] rows (the
+        stage-2 contract, src/utils.py:42-99)."""
+        jobs: list[tuple[int, BBox]] = []
+        for i, (img, boxes) in enumerate(zip(enum_images, enum_boxes_lists)):
+            for b in boxes or []:
+                if b.visual_id is not None:
+                    jobs.append((i, b))
+        if not jobs:
+            return [[] for _ in enum_images]
+        crops = np.stack(
+            [make_crop(enum_images[i], b, pad=CROP_PAD) for i, b in jobs]
+        )
+        classes, values, _dirs = self._read_crops(crops)
+        out: list[list[dict]] = [[] for _ in enum_images]
+        for (i, b), cls, val in zip(jobs, classes, values):
+            out[i].append({"id": str(b.visual_id), "class": cls, "value": val})
+        return out
+
+    def get_labels(self, enum_image_rgb: np.ndarray) -> list[dict]:
+        """Whole-image contract without boxes is the black-box VLM's
+        burden; this reader is box-driven. The pipeline prefers the
+        *_boxes hooks when present — reaching here means mis-wiring."""
+        raise NotImplementedError(
+            "TrainedReaderClient reads per-component crops; the pipeline "
+            "should call get_labels_batch_boxes (it does when enum boxes "
+            "are available)"
+        )
+
+    # -- direction pass ---------------------------------------------------
+    def get_direction(self, crop_rgb: np.ndarray, component_class: str):
+        (d,), = [self.get_directions_batch([crop_rgb], [component_class])]
+        return d
+
+    def get_directions_batch(
+        self, crops: Sequence[np.ndarray], classes: Sequence[str]
+    ) -> list[tuple[str, str]]:
+        from PIL import Image
+
+        size = self.cfg.crop_size
+        batch = np.stack(
+            [
+                np.asarray(
+                    Image.fromarray(np.asarray(c)).resize(
+                        (size, size), Image.BILINEAR
+                    )
+                )
+                for c in crops
+            ]
+        )
+        _cls, _vals, dirs = self._read_crops(batch)
+        return [
+            (d if d != "NONE" else "UNKNOWN", _reason_for(cls))
+            for d, cls in zip(dirs, classes)
+        ]
+
+
+def load_trained_reader(path: str) -> TrainedReaderClient:
+    """Load a checkpoint written by scripts/train_reader_demo.py."""
+    from ..models.checkpoint import load_variables
+
+    return TrainedReaderClient(load_variables(path))

@@ -167,9 +167,7 @@ def sam2_forward_flops(cfg, batch: int = 1) -> float:
 
     def compute():
         model = SAM2ImageSegmenter(cfg=cfg)
-        variables = jax.eval_shape(
-            lambda: init_params(model, jax.random.PRNGKey(0))
-        )
+        variables = init_params(model, jax.random.PRNGKey(0))
         x = jax.ShapeDtypeStruct(
             (batch, cfg.resolution, cfg.resolution, 3), jnp.float32
         )
@@ -178,7 +176,15 @@ def sam2_forward_flops(cfg, batch: int = 1) -> float:
             with hiera.force_fused(False):
                 return model.apply(v, img)
 
-        return matmul_flops(fwd, variables, x)
+        # Count the pure-einsum path: on TPU the global blocks otherwise
+        # route through the flash-attention custom call, whose internal
+        # contractions a jaxpr walk cannot see (~113 GFLOP/img at L).
+        saved = hiera.FLASH_MIN_SEQ
+        hiera.FLASH_MIN_SEQ = 1 << 60
+        try:
+            return matmul_flops(fwd, variables, x)
+        finally:
+            hiera.FLASH_MIN_SEQ = saved
 
     key = f"sam2:{cfg.resolution}:{cfg.embed_dim}:{cfg.stages}:{batch}"
     return cached_flops(key, compute)
@@ -197,9 +203,8 @@ def yolo_forward_flops(det_cfg, batch: int = 1) -> float:
             scale=det_cfg.scale,
             reg_max=det_cfg.reg_max,
         )
-        variables = jax.eval_shape(
-            lambda: init_params(model, jax.random.PRNGKey(0),
-                                img_size=det_cfg.img_size)
+        variables = init_params(
+            model, jax.random.PRNGKey(0), img_size=det_cfg.img_size
         )
         x = jax.ShapeDtypeStruct(
             (batch, det_cfg.img_size, det_cfg.img_size, 3), jnp.float32

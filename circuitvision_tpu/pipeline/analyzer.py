@@ -409,7 +409,14 @@ class CircuitAnalyzerTPU:
             logger.warning("no VLM client or enum image; keeping valueless netlist")
             return result
         try:
-            vlm_out = self.vlm_client.get_labels(result.enum_image)
+            # Box-driven readers (enrich/trained_reader.py) skip the
+            # red-digit OCR the black-box VLM needs: the pipeline drew
+            # the enumeration, so it hands over the visual-id boxes.
+            boxes_fn = getattr(self.vlm_client, "get_labels_batch_boxes", None)
+            if boxes_fn is not None and result.enum_bboxes is not None:
+                vlm_out = boxes_fn([result.enum_image], [result.enum_bboxes])[0]
+            else:
+                vlm_out = self.vlm_client.get_labels(result.enum_image)
             result.vlm_stage2_output = vlm_out
             fix_netlist(result.netlist, vlm_out, result.enum_bboxes)
             result.netlist_text = stringify_netlist(result.netlist)
@@ -431,8 +438,9 @@ class CircuitAnalyzerTPU:
         image matches the reference (src/analysis_pipeline.py:368-371):
         any VLM/parse failure keeps that image's valueless netlist."""
         results = list(results)
+        boxes_fn = getattr(self.vlm_client, "get_labels_batch_boxes", None)
         batch_fn = getattr(self.vlm_client, "get_labels_batch", None)
-        if batch_fn is None:
+        if boxes_fn is None and batch_fn is None:
             return [self.generate_final_netlist(r) for r in results]
         chunk = chunk_size or 8
         idx = [i for i, r in enumerate(results) if r.enum_image is not None]
@@ -445,7 +453,13 @@ class CircuitAnalyzerTPU:
             sel = idx[base : base + chunk]
             t0 = time.time()
             try:
-                outs = batch_fn([results[i].enum_image for i in sel])
+                if boxes_fn is not None:
+                    outs = boxes_fn(
+                        [results[i].enum_image for i in sel],
+                        [results[i].enum_bboxes for i in sel],
+                    )
+                else:
+                    outs = batch_fn([results[i].enum_image for i in sel])
             except Exception as e:
                 logger.error(
                     "batched VLM labeling failed: %s; keeping valueless netlists", e

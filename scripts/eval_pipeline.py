@@ -47,10 +47,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def run_eval(args) -> dict:
+def run_eval(args, degrade_tier: str = None) -> dict:
+    import zlib
+
     from circuitvision_tpu.core.config import DetectorConfig, PipelineConfig
     from circuitvision_tpu.core.types import BBox
     from circuitvision_tpu.enrich.client import FakeVLMClient
+    from circuitvision_tpu.eval.degrade import degrade
     from circuitvision_tpu.eval.metrics import (
         map50,
         mask_accuracy,
@@ -103,6 +106,22 @@ def run_eval(args) -> dict:
             with open(gt_box_path) as f:
                 gt = [BBox.from_dict(d) for d in json.load(f)]
 
+        gt_mask_loaded = None
+        gt_mask_path = os.path.join(args.data, "masks", f"{name}.png")
+        if os.path.exists(gt_mask_path):
+            from PIL import Image
+
+            gt_mask_loaded = np.asarray(Image.open(gt_mask_path).convert("L"))
+
+        if degrade_tier:
+            # Deterministic per-image corruption; geometric tiers warp
+            # the GT boxes/mask with the same transform so oracle-box
+            # and mask-IoU scoring stay consistent with the pixels.
+            image, gt, gt_mask_loaded = degrade(
+                image, degrade_tier, seed=zlib.crc32(name.encode()),
+                boxes=gt, mask=gt_mask_loaded,
+            )
+
         if args.oracle_boxes:
             if gt is None:
                 raise FileNotFoundError(f"--oracle-boxes needs boxes/{name}.json")
@@ -134,11 +153,8 @@ def run_eval(args) -> dict:
             pred_netlists.append(result.netlist_text or "")
             netlist_names.append(name)
 
-        gt_mask_path = os.path.join(args.data, "masks", f"{name}.png")
-        if os.path.exists(gt_mask_path) and result.sam_mask is not None:
-            from PIL import Image
-
-            gt_mask = np.asarray(Image.open(gt_mask_path).convert("L"))
+        if gt_mask_loaded is not None and result.sam_mask is not None:
+            gt_mask = gt_mask_loaded
             if not gt_mask.any():
                 gt_mask = None  # wireless degenerate case: IoU undefined
             pred_mask = result.sam_mask if gt_mask is not None else None
@@ -197,13 +213,36 @@ def main(argv=None) -> int:
     parser.add_argument("--limit", type=int, default=0)
     parser.add_argument("--oracle-boxes", action="store_true")
     parser.add_argument("--classical-mask", action="store_true")
+    parser.add_argument(
+        "--degrade", default=None,
+        help="corruption tier (eval/degrade.py: blur, shadow, jpeg, "
+        "perspective, wobble), or 'all' to score the clean set plus "
+        "every tier and emit a 'degraded' report section",
+    )
     args = parser.parse_args(argv)
 
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
-    report = run_eval(args)
+    if args.degrade == "all":
+        from circuitvision_tpu.eval.degrade import DEGRADE_TIERS
+
+        report = run_eval(args)
+        report["degraded"] = {}
+        for tier in sorted(DEGRADE_TIERS):
+            tier_report = run_eval(args, degrade_tier=tier)
+            report["degraded"][tier] = {
+                k: tier_report[k]
+                for k in (
+                    "netlist_exact_match",
+                    "netlist_exact_match_by_category",
+                    "segmentation",
+                )
+                if k in tier_report
+            }
+    else:
+        report = run_eval(args, degrade_tier=args.degrade)
     print(json.dumps(report, indent=2))
     return 0
 

@@ -63,12 +63,137 @@ def build_reader(int8: bool):
     )
 
 
+def run_trained_reader(args) -> None:
+    """Accuracy + throughput of the complete product with the TRAINED
+    crop reader (VERDICT r3 #2 'done' bar): glyph-rendered circuits with
+    known values, full-size YOLO+SAM2 device path (oracle boxes/masks as
+    in bench.py), values+directions from enrich/trained_reader. Reports
+    netlist-with-values exact-match vs the same pipeline merged with the
+    GROUND-TRUTH label rows (isolates the reader's read: topology and
+    merge code are shared)."""
+    import dataclasses
+
+    from circuitvision_tpu.core import taxonomy
+    from circuitvision_tpu.core.config import PipelineConfig
+    from circuitvision_tpu.enrich.trained_reader import load_trained_reader
+    from circuitvision_tpu.eval.glyphs import render_schematic
+    from circuitvision_tpu.eval.randomized import random_circuit
+    from circuitvision_tpu.netlist.fix import fix_netlist
+    from circuitvision_tpu.netlist.generate import stringify_netlist
+    from circuitvision_tpu.pipeline.analyzer import CircuitAnalyzerTPU
+    from circuitvision_tpu.pipeline.batch import BatchedPipeline
+
+    reader = load_trained_reader(args.trained_reader)
+
+    analyzer = CircuitAnalyzerTPU(
+        config=PipelineConfig(use_sam2=True),
+        use_sam2=True,
+        vlm_client=reader,
+    )
+
+    # Unique glyph circuits with known values/directions; reused across
+    # the workload like bench.py reuses its synth set.
+    unique = []
+    for i in range(args.unique_circuits):
+        mask, boxes = random_circuit(770_000 + i)
+        rng = np.random.default_rng(770_000 + i)
+        img, values, dirs, text_boxes = render_schematic(mask, boxes, rng)
+        unique.append({
+            "image": img, "mask": mask,
+            "boxes": list(boxes) + list(text_boxes),
+            "values": values, "dirs": dirs,
+        })
+    by_shape = {}
+    for u in unique:
+        by_shape.setdefault(u["image"].shape, []).append(u)
+    # one circuit per shape keeps the oracle lookup unambiguous
+    unique = [us[0] for us in by_shape.values()]
+
+    gt_by_shape = {u["image"].shape: u for u in unique}
+
+    class OraclePipeline(BatchedPipeline):
+        def _detect_bboxes(self, chunk):
+            BatchedPipeline._detect_bboxes(self, chunk)  # pay real detect
+            return [
+                copy.deepcopy(gt_by_shape[img.shape]["boxes"]) for img in chunk
+            ]
+
+        def _prepare_packed_rasters(self, staged):
+            for st in staged:
+                gt = gt_by_shape[st.image.shape]
+                mask = gt["mask"]
+                info = st.crop_info
+                if info is not None and info.applied and info.window:
+                    x0, y0, x1, y1 = info.window
+                    mask = mask[y0:y1, x0:x1]
+                st.mask = mask
+                st.mask_dev = jax.device_put(mask)
+            BatchedPipeline._prepare_packed_rasters(self, staged)
+            for st in staged:
+                st.mask_dev = None
+            return staged
+
+    pipeline = OraclePipeline(analyzer, batch_size=args.batch)
+    images = [unique[i % len(unique)]["image"] for i in range(args.images)]
+
+    warm = pipeline.analyze_many(images[: args.batch], finalize=True)
+    print("warmup complete")
+
+    # Timed: the complete interleaved product (pipeline + reader values).
+    t0 = time.perf_counter()
+    timed = pipeline.analyze_many(images, finalize=True)
+    dt = time.perf_counter() - t0
+    n = len(timed)
+    assert all(r.netlist_text is not None for r in timed)
+
+    # Accuracy: run once WITHOUT finalize to snapshot the pre-merge
+    # netlists, then merge twice — reader rows vs ground-truth rows —
+    # through the SAME fix_netlist, so the comparison isolates what the
+    # reader read off the pixels.
+    results = pipeline.analyze_many(images)
+    snapshots = [copy.deepcopy(r.netlist) for r in results]
+    results = analyzer.finalize_netlists(results, chunk_size=args.batch)
+    n_ok = 0
+    for r, snap in zip(results, snapshots):
+        gt = gt_by_shape[r.original_image.shape]
+        cls_by_uid = {b.persistent_uid: b.class_name for b in gt["boxes"]}
+        gt_rows = []
+        for b in r.enum_bboxes or []:
+            if b.visual_id is None:
+                continue
+            gt_rows.append({
+                "id": str(b.visual_id),
+                # what the pixels SHOW: the rendered class + printed value
+                "class": cls_by_uid.get(b.persistent_uid, b.class_name),
+                "value": gt["values"].get(b.persistent_uid),
+            })
+        fix_netlist(snap, gt_rows, r.enum_bboxes)
+        expected_text = stringify_netlist(snap)
+        n_ok += int(r.netlist_text == expected_text)
+    print(
+        f"{n} images with TRAINED reader: {dt:.2f}s -> {n/dt:.2f} img/s "
+        f"COMPLETE (interleaved); netlist-with-values exact-match "
+        f"{n_ok}/{len(results)} = {n_ok/max(1,len(results)):.3f}"
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", type=int, default=40)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--no-int8", action="store_true")
+    ap.add_argument(
+        "--trained-reader", default=None,
+        help="checkpoint from scripts/train_reader_demo.py --out; runs "
+        "the accuracy+throughput mode on glyph circuits instead of the "
+        "random-weights PaliGemma timing mode",
+    )
+    ap.add_argument("--unique-circuits", type=int, default=8)
     args = ap.parse_args()
+
+    if args.trained_reader:
+        run_trained_reader(args)
+        return
 
     from circuitvision_tpu.core.config import PipelineConfig
     from circuitvision_tpu.eval.synth import make_circuits

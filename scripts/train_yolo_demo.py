@@ -1,0 +1,203 @@
+"""Detector fine-tuning convergence demo (VERDICT r3 #3): train the
+first-party YOLOv11 on synthetic circuit renders and report held-out
+mAP@50.
+
+The reference's detector is an offline ultralytics fine-tune
+(/root/reference/README.md:113, mAP@50 0.9313 on its schematic set);
+this demonstrates the framework can PRODUCE that model on TPU: the
+ultralytics-formulation loss (TAL + CIoU + DFL + BCE,
+train/yolo_loss.py) over models/yolo, with the eval run through the
+REAL serving decode path (DFL expectation + device NMS + unletterbox)
+and scored by eval/metrics.average_precision.
+
+Usage: python scripts/train_yolo_demo.py [--steps 300] [--batch 8]
+         [--img-size 320] [--scale n]
+CPU smoke: --steps 20 --img-size 128 --scale n --batch 2
+"""
+import argparse
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def detection_batch(seed0: int, n: int, img_size: int, max_gt: int = 48):
+    """n synthetic circuits letterboxed to img_size² with their boxes
+    mapped into letterbox space. Returns (images (n, s, s, 3) float [0,1],
+    gt_boxes, gt_classes, gt_valid) ready for the jit loss."""
+    import dataclasses
+
+    from circuitvision_tpu.eval.glyphs import render_schematic
+    from circuitvision_tpu.eval.randomized import random_circuit
+    from circuitvision_tpu.ops.image import letterbox
+    from circuitvision_tpu.train.yolo_train import targets_from_boxes
+
+    imgs = np.zeros((n, img_size, img_size, 3), np.float32)
+    all_boxes = []
+    for i in range(n):
+        mask, boxes = random_circuit(seed0 + i)
+        # class-distinct glyphs + printed values: classes are LEARNABLE
+        # from pixels (identical-rectangle renders pinned mAP at 0), and
+        # the value labels become detectable `text`-class ground truth
+        rng = np.random.default_rng(seed0 + i)
+        image, _vals, _dirs, text_boxes = render_schematic(mask, boxes, rng)
+        boxes = list(boxes) + list(text_boxes)
+        lb, scale, pads = letterbox(jnp.asarray(image), img_size)
+        imgs[i] = np.asarray(lb) / 255.0
+        s = float(scale)
+        px, py = float(pads[0]), float(pads[1])
+        all_boxes.append(
+            [
+                dataclasses.replace(
+                    b,
+                    xmin=int(b.xmin * s + px),
+                    ymin=int(b.ymin * s + py),
+                    xmax=int(b.xmax * s + px),
+                    ymax=int(b.ymax * s + py),
+                    persistent_uid="",
+                )
+                for b in boxes
+            ]
+        )
+    gb, gc, gv = targets_from_boxes(all_boxes, max_gt=max_gt)
+    return jnp.asarray(imgs), gb, gc, gv, all_boxes
+
+
+def eval_map50(model, params, det_cfg, images, gt_boxes_lists, img_size):
+    """mAP@50 through the REAL serving decode: DFL + device NMS."""
+    from circuitvision_tpu.core.taxonomy import ID_TO_NAME
+    from circuitvision_tpu.core.types import BBox
+    from circuitvision_tpu.eval.metrics import map50
+    from circuitvision_tpu.models.yolo.decode import (
+        decode_predictions,
+        postprocess,
+    )
+
+    @jax.jit
+    def infer(params, imgs):
+        outs = model.apply(params, imgs)
+        boxes, scores = decode_predictions(
+            outs, det_cfg.reg_max, det_cfg.num_classes
+        )
+        # eval-style thresholds (ultralytics val: conf 0.001) — the PR
+        # curve needs the low-confidence tail; serving uses conf 0.25
+        return postprocess(
+            boxes, scores, max_detections=256,
+            conf_threshold=0.001, iou_threshold=0.7,
+        )
+
+    dets = infer(params, images)
+    preds = []
+    for i in range(images.shape[0]):
+        keep = np.asarray(dets.valid[i])
+        bxs = np.asarray(dets.boxes[i])[keep]
+        scs = np.asarray(dets.scores[i])[keep]
+        cls = np.asarray(dets.classes[i])[keep]
+        preds.append(
+            [
+                BBox(
+                    class_name=ID_TO_NAME.get(int(c), str(int(c))),
+                    confidence=float(s),
+                    xmin=int(b[0]), ymin=int(b[1]),
+                    xmax=int(b[2]), ymax=int(b[3]),
+                )
+                for b, s, c in zip(bxs, scs, cls)
+            ]
+        )
+    return map50(preds, gt_boxes_lists)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--img-size", type=int, default=320)
+    ap.add_argument("--scale", default="n", choices=("n", "s", "m", "l", "x"))
+    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--warmup-steps", type=int, default=20)
+    ap.add_argument("--log-every", type=int, default=25)
+    ap.add_argument("--val-n", type=int, default=16)
+    args = ap.parse_args()
+
+    from circuitvision_tpu.core.config import DetectorConfig
+    from circuitvision_tpu.models.yolo.model import YOLOv11, init_params
+    from circuitvision_tpu.train.yolo_loss import YOLOLossConfig
+    from circuitvision_tpu.train.yolo_train import (
+        init_detect_biases,
+        make_yolo_optimizer,
+        make_yolo_train_step,
+    )
+
+    det_cfg = DetectorConfig(scale=args.scale, img_size=args.img_size)
+    loss_cfg = YOLOLossConfig(
+        num_classes=det_cfg.num_classes,
+        reg_max=det_cfg.reg_max,
+        img_size=args.img_size,
+    )
+    model = YOLOv11(
+        num_classes=det_cfg.num_classes, scale=args.scale,
+        reg_max=det_cfg.reg_max,
+    )
+    params = init_params(model, jax.random.PRNGKey(0), img_size=args.img_size)
+    params = init_detect_biases(
+        params, det_cfg.num_classes, args.img_size
+    )
+    n_params = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(params))
+    print(f"YOLOv11-{args.scale} @{args.img_size}: {n_params:,} params, "
+          f"{args.steps} steps x batch {args.batch}")
+
+    tx = make_yolo_optimizer(args.lr, warmup_steps=args.warmup_steps)
+    opt = tx.init(params)
+    step = jax.jit(make_yolo_train_step(model, tx, loss_cfg))
+
+    val_imgs, _, _, _, val_gt = detection_batch(
+        990000, args.val_n, args.img_size
+    )
+    m0 = eval_map50(model, params, det_cfg, val_imgs, val_gt, args.img_size)
+    print(f"held-out mAP@50 before training: {m0['map']:.4f}")
+
+    t0 = time.time()
+    loss_first = loss = None
+    for i in range(args.steps):
+        images, gb, gc, gv, _ = detection_batch(
+            1000 + i * args.batch, args.batch, args.img_size
+        )
+        params, opt, metrics = step(params, opt, images, gb, gc, gv)
+        if i % args.log_every == 0 or i == args.steps - 1:
+            loss = float(metrics["loss"])
+            if loss_first is None:
+                loss_first = loss
+            print(
+                f"step {i:4d}  loss {loss:.4f}  box {float(metrics['box_loss']):.3f}"
+                f"  cls {float(metrics['cls_loss']):.3f}"
+                f"  dfl {float(metrics['dfl_loss']):.3f}"
+                f"  fg {int(metrics['n_fg'])}  ({time.time() - t0:.1f}s)"
+            )
+    m1 = eval_map50(model, params, det_cfg, val_imgs, val_gt, args.img_size)
+    dt = time.time() - t0
+    print(
+        f"held-out mAP@50 after {args.steps} steps: {m1['map']:.4f} "
+        f"(was {m0['map']:.4f}); loss {loss_first:.4f} -> {loss:.4f}; "
+        f"{dt:.1f}s total, {dt / max(1, args.steps) * 1e3:.0f} ms/step"
+    )
+    top = sorted(m1["per_class"].items(), key=lambda kv: -kv[1])[:6]
+    print("per-class AP@50 (top):", {k: round(v, 3) for k, v in top})
+    if args.steps >= 200:
+        assert loss < loss_first, "loss did not decrease"
+        assert m1["map"] > m0["map"] + 0.1, "mAP@50 did not improve"
+    else:
+        print(f"(short run: {args.steps} steps — convergence bars skipped)")
+    print("YOLO TRAIN DEMO OK")
+
+
+if __name__ == "__main__":
+    main()

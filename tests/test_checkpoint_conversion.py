@@ -9,6 +9,9 @@ block indices mapped onto the tiny config), wrapper net-new params, the
 video-memory entries the image pipeline never consumes, and an
 ultralytics-nested YOLO dict with DFL/BatchNorm bookkeeping.
 """
+import json
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -215,3 +218,131 @@ class TestYOLOConversion:
         del ckpt[key]
         with pytest.raises(KeyError, match="Missing"):
             yolo_convert.convert_state_dict(ckpt, template)
+
+
+FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _load_fixture(name):
+    with open(os.path.join(FIXTURE_DIR, name)) as f:
+        return {k: tuple(v) for k, v in json.load(f).items()}
+
+
+@pytest.fixture(scope="module")
+def sam2_l_vars():
+    """Full Hiera-L variables — the real checkpoint's fill target
+    (slow: ~1 min init on the CI host)."""
+    from circuitvision_tpu.core.config import SAM2Config
+
+    model = SAM2ImageSegmenter(cfg=SAM2Config())
+    return sam2_init(model, jax.random.PRNGKey(0))
+
+
+class TestFrozenKeyInventories:
+    """VERDICT r3 #7: the complete REAL checkpoint key inventories
+    (PEFT-wrapped SAM2-L fine-tune with all 36 LoRA targets at the real
+    trunk indices 44/47; ultralytics YOLOv11-L) are frozen on disk
+    (scripts/make_checkpoint_fixtures.py). These tests fail if converter
+    or model drift would silently drop — or newly require — a real
+    checkpoint key."""
+
+    @pytest.mark.slow
+    def test_sam2_l_inventory_is_frozen(self, sam2_l_vars):
+        fixture = _load_fixture("sam2_l_reference_checkpoint_keys.json")
+        current = sam2_convert.reference_checkpoint_inventory(sam2_l_vars)
+        current = {k: tuple(v) for k, v in current.items()}
+        assert current == fixture, (
+            "reference-checkpoint inventory drifted from the frozen "
+            "fixture — if the architecture change is intentional, "
+            "regenerate with scripts/make_checkpoint_fixtures.py; "
+            f"added={sorted(set(current) - set(fixture))[:5]} "
+            f"removed={sorted(set(fixture) - set(current))[:5]}"
+        )
+
+    @pytest.mark.slow
+    def test_sam2_l_every_fixture_key_consumed(self, sam2_l_vars):
+        """A checkpoint with EXACTLY the frozen keys (zeros) converts:
+        every key consumed or on the documented skip list; then one
+        dropped key and one stray key both fail loudly."""
+        fixture = _load_fixture("sam2_l_reference_checkpoint_keys.json")
+        ckpt = {k: np.zeros(s, np.float32) for k, s in fixture.items()}
+        # the real file also carries video-memory machinery the image
+        # path never runs — tolerated by documented prefix
+        ckpt["sam2_model.base_model.model.memory_encoder.fuser.layers.0.norm.weight"] = (
+            np.zeros((4,), np.float32)
+        )
+        converted = sam2_convert.convert_state_dict(ckpt, sam2_l_vars)
+        assert converted is not None
+
+        stray = dict(ckpt)
+        stray["sam2_model.base_model.model.sam_mask_decoder.mystery.weight"] = (
+            np.zeros((2, 2), np.float32)
+        )
+        with pytest.raises(KeyError, match="silently dropped"):
+            sam2_convert.convert_state_dict(stray, sam2_l_vars)
+
+        short = dict(ckpt)
+        del short["sam2_model.base_model.model.image_encoder.trunk.blocks.10.attn.qkv.weight"]
+        with pytest.raises(KeyError, match="Missing"):
+            sam2_convert.convert_state_dict(short, sam2_l_vars)
+
+    def test_sam2_fixture_invariants(self):
+        """Fast lane: structural facts of the frozen inventory that the
+        reference fine-tune guarantees (src/circuit_analyzer.py:156-212)."""
+        fixture = _load_fixture("sam2_l_reference_checkpoint_keys.json")
+        lora_a = {k for k in fixture if ".lora_A.default.weight" in k}
+        lora_b = {k for k in fixture if ".lora_B.default.weight" in k}
+        assert len(lora_a) == len(lora_b) == 36
+        # every adapter pair sits on a base_layer'd module with rank 4
+        for k in lora_a:
+            mod = k[: -len(".lora_A.default.weight")]
+            assert f"{mod}.base_layer.weight" in fixture, mod
+            assert fixture[k][0] == 4  # rank
+        for k in lora_b:
+            assert fixture[k][1] == 4
+        # the two fine-tuned trunk blocks are the real Hiera-L indices
+        assert any("trunk.blocks.44.attn.qkv.lora_A" in k for k in lora_a)
+        assert any("trunk.blocks.47.mlp.layers.0.lora_A" in k for k in lora_a)
+        # wrapper net-new params are present and un-prefixed
+        assert "dense_embedding1" in fixture
+        assert "sparse_embedding" in fixture
+        assert any(k.startswith("refinement_layer.") for k in fixture)
+
+    def test_yolo_l_inventory_is_frozen(self):
+        from circuitvision_tpu.core.config import DetectorConfig
+
+        det_cfg = DetectorConfig(scale="l", img_size=640)
+        model = YOLOv11(
+            num_classes=det_cfg.num_classes, scale=det_cfg.scale,
+            reg_max=det_cfg.reg_max,
+        )
+        variables = yolo_init(model, jax.random.PRNGKey(1), img_size=640)
+        fixture = _load_fixture("yolo_l_reference_checkpoint_keys.json")
+        current = yolo_convert.reference_checkpoint_inventory(variables)
+        current = {k: tuple(v) for k, v in current.items()}
+        assert current == fixture, (
+            f"added={sorted(set(current) - set(fixture))[:5]} "
+            f"removed={sorted(set(fixture) - set(current))[:5]}"
+        )
+
+    def test_yolo_l_every_fixture_key_consumed(self):
+        from circuitvision_tpu.core.config import DetectorConfig
+
+        det_cfg = DetectorConfig(scale="l", img_size=640)
+        model = YOLOv11(
+            num_classes=det_cfg.num_classes, scale=det_cfg.scale,
+            reg_max=det_cfg.reg_max,
+        )
+        template = yolo_init(model, jax.random.PRNGKey(1), img_size=640)
+        fixture = _load_fixture("yolo_l_reference_checkpoint_keys.json")
+        ckpt = {
+            k: np.zeros(s, np.float32) if s else np.zeros((), np.int64)
+            for k, s in fixture.items()
+        }
+        converted = yolo_convert.convert_state_dict(ckpt, template)
+        assert converted is not None
+
+        stray = dict(ckpt)
+        stray["model.99.conv.weight"] = np.zeros((2, 2, 1, 1), np.float32)
+        with pytest.raises(KeyError, match="silently dropped"):
+            yolo_convert.convert_state_dict(stray, template)

@@ -19,6 +19,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-model torch-twin diffs (~2 min cold)
+
 torch = pytest.importorskip("torch")
 
 import jax

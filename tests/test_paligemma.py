@@ -322,6 +322,7 @@ class TestValueReader:
                     TINY.image_token_id}
         assert not specials & set(bt.encode(text))
 
+    @pytest.mark.slow
     def test_prompt_layout(self):
         r = self._reader()
         ids = r.build_prompt_ids("task")

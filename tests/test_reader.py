@@ -1,0 +1,202 @@
+"""Trained crop reader (train/reader.py + enrich/trained_reader.py):
+value codec, dataset generation, model forward, learning on a tiny
+slice, and the serving client's batched contract."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from circuitvision_tpu.train.reader import (
+    CropReader,
+    ReaderConfig,
+    decode_value,
+    encode_value,
+    generate_reader_dataset,
+    init_reader,
+    make_crop,
+    make_reader_train_step,
+)
+
+
+class TestValueCodec:
+    @pytest.mark.parametrize("v", ["1k", "470", "10:45", "2:-90", "22u", "5"])
+    def test_roundtrip(self, v):
+        assert decode_value(encode_value(v)) == v
+
+    def test_none_and_empty(self):
+        assert decode_value(encode_value(None)) is None
+        assert decode_value(encode_value("")) is None
+
+    def test_blank_is_zero(self):
+        codes = encode_value("1k")
+        assert codes[2] == 0 and codes[0] != 0
+
+
+class TestDataset:
+    def test_generates_consistent_arrays(self):
+        data = generate_reader_dataset(4, seed0=123)
+        n = data["crops"].shape[0]
+        assert n > 0
+        assert data["crops"].shape[1:] == (96, 96, 3)
+        assert data["cls"].shape == (n,)
+        assert data["val"].shape == (n, 8)
+        assert data["dir"].shape == (n,)
+        # at least one crop carries a value and all classes are valid ids
+        assert (data["val"].sum(axis=1) > 0).any()
+        assert (data["cls"] >= 0).all()
+
+    def test_deterministic(self):
+        a = generate_reader_dataset(2, seed0=55)
+        b = generate_reader_dataset(2, seed0=55)
+        np.testing.assert_array_equal(a["crops"], b["crops"])
+        np.testing.assert_array_equal(a["val"], b["val"])
+
+
+class TestModel:
+    def test_forward_shapes(self):
+        cfg = ReaderConfig(width=8)
+        model = CropReader(cfg)
+        params = init_reader(cfg, jax.random.PRNGKey(0))
+        cls, val, d = model.apply(
+            params, jnp.zeros((3, cfg.crop_size, cfg.crop_size, 3))
+        )
+        assert cls.shape == (3, cfg.num_classes)
+        assert val.shape == (3, cfg.value_len, cfg.value_vocab)
+        assert d.shape == (3, cfg.n_directions)
+
+    def test_learns_tiny_slice(self):
+        """A handful of steps on 32 crops must cut the loss (pins the
+        full differentiated path through all three heads)."""
+        import optax
+
+        data = generate_reader_dataset(6, seed0=321)
+        sel = np.arange(min(32, data["crops"].shape[0]))
+        cfg = ReaderConfig(width=8)
+        model = CropReader(cfg)
+        params = init_reader(cfg, jax.random.PRNGKey(0))
+        tx = optax.adam(3e-3)
+        opt = tx.init(params)
+        step = jax.jit(make_reader_train_step(model, tx))
+        args = (
+            jnp.asarray(data["crops"][sel]),
+            jnp.asarray(data["cls"][sel]),
+            jnp.asarray(data["val"][sel]),
+            jnp.asarray(data["dir"][sel]),
+        )
+        first = last = None
+        for _ in range(15):
+            params, opt, metrics = step(params, opt, *args)
+            if first is None:
+                first = float(metrics["loss"])
+            last = float(metrics["loss"])
+        assert last < first
+
+
+class TestMakeCrop:
+    def test_shape_and_padding(self):
+        img = np.full((100, 200, 3), 255, np.uint8)
+        img[40:60, 90:110] = 0
+        from circuitvision_tpu.core.types import BBox
+
+        crop = make_crop(img, BBox("resistor", 0.9, 90, 40, 110, 60))
+        assert crop.shape == (96, 96, 3)
+        assert (crop < 128).any()  # the dark box is in frame
+
+    def test_edge_box_clipped(self):
+        img = np.full((50, 50, 3), 255, np.uint8)
+        from circuitvision_tpu.core.types import BBox
+
+        crop = make_crop(img, BBox("resistor", 0.9, -10, -10, 5, 5))
+        assert crop.shape == (96, 96, 3)
+
+
+class TestServingClient:
+    def _trained_on_one_batch(self):
+        """Not accuracy — just a functioning params tree."""
+        cfg = ReaderConfig(width=8)
+        return ReaderConfig(width=8), init_reader(cfg, jax.random.PRNGKey(1))
+
+    def test_labels_batch_boxes_contract(self):
+        from circuitvision_tpu.enrich.trained_reader import TrainedReaderClient
+
+        cfg, params = self._trained_on_one_batch()
+        client = TrainedReaderClient(params, cfg)
+        img = np.full((120, 160, 3), 255, np.uint8)
+        from circuitvision_tpu.core.types import BBox
+
+        boxes = [
+            dataclasses.replace(
+                BBox("resistor", 0.9, 10, 10, 40, 40), visual_id=1
+            ),
+            dataclasses.replace(
+                BBox("capacitor", 0.9, 60, 10, 90, 40), visual_id=2
+            ),
+        ]
+        out = client.get_labels_batch_boxes([img, img], [boxes, []])
+        assert len(out) == 2
+        assert [r["id"] for r in out[0]] == ["1", "2"]
+        assert out[1] == []
+        for r in out[0]:
+            assert set(r) == {"id", "class", "value"}
+
+    def test_directions_batch_contract(self):
+        from circuitvision_tpu.enrich.trained_reader import TrainedReaderClient
+
+        cfg, params = self._trained_on_one_batch()
+        client = TrainedReaderClient(params, cfg)
+        crops = [np.full((40, 40, 3), 255, np.uint8)] * 3
+        out = client.get_directions_batch(
+            crops, ["voltage.dc", "diode", "current.dc"]
+        )
+        assert len(out) == 3
+        d, reason = out[0]
+        assert d in ("UP", "DOWN", "LEFT", "RIGHT", "UNKNOWN")
+        assert reason == "SIGN"
+        assert out[1][1] == "ARROW" and out[2][1] == "ARROW"
+
+    def test_get_labels_without_boxes_raises(self):
+        from circuitvision_tpu.enrich.trained_reader import TrainedReaderClient
+
+        cfg, params = self._trained_on_one_batch()
+        client = TrainedReaderClient(params, cfg)
+        with pytest.raises(NotImplementedError):
+            client.get_labels(np.zeros((10, 10, 3), np.uint8))
+
+
+class TestAnalyzerPrefersBoxHook:
+    def test_generate_final_netlist_uses_boxes_hook(self):
+        """A client exposing get_labels_batch_boxes must be called with
+        the enum boxes; get_labels must not be touched."""
+        from circuitvision_tpu.core.types import AnalysisResult, BBox
+        from circuitvision_tpu.pipeline.analyzer import CircuitAnalyzerTPU
+        from circuitvision_tpu.core.config import PipelineConfig
+
+        calls = {}
+
+        class BoxClient:
+            def get_labels_batch_boxes(self, imgs, boxes_lists):
+                calls["boxes"] = (len(imgs), boxes_lists)
+                return [[] for _ in imgs]
+
+            def get_labels(self, img):
+                raise AssertionError("should not be called")
+
+            def get_direction(self, crop, cls):
+                return ("UNKNOWN", "UNKNOWN")
+
+        analyzer = CircuitAnalyzerTPU(
+            config=PipelineConfig(use_sam2=False), use_sam2=False,
+            vlm_client=BoxClient(),
+        )
+        res = AnalysisResult(original_image=np.zeros((4, 4, 3), np.uint8))
+        res.enum_image = np.zeros((4, 4, 3), np.uint8)
+        res.enum_bboxes = [
+            dataclasses.replace(
+                BBox("resistor", 0.9, 0, 0, 2, 2), visual_id=1
+            )
+        ]
+        res.netlist = []
+        analyzer.generate_final_netlist(res)
+        assert calls["boxes"][0] == 1

@@ -74,6 +74,7 @@ class TestHiera:
 
 
 class TestSegmenter:
+    @pytest.mark.slow
     def test_forward_shapes(self, tiny_sam):
         model, variables = tiny_sam
         x = jnp.zeros((2, 128, 128, 3))
@@ -231,6 +232,7 @@ class TestLayoutPersistentWindows:
         out = window_unpartition(blk0.apply(variables, xp), 4, pad, (16, 16))
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
+    @pytest.mark.slow
     def test_indivisible_input_still_works(self):
         """Feature maps that don't divide by the window fall back to
         per-block partitioning (with padding) inside MultiScaleBlock."""
@@ -256,6 +258,7 @@ class TestLayoutPersistentWindows:
         assert feats[3].shape == (1, 2, 2, 128)
 
 
+@pytest.mark.slow
 class TestChannelPadding:
     """MXU channel padding (hiera.pad_multiple + padding.pad_trunk_params):
     the padded trunk with zero-padded weights must reproduce the native
@@ -333,6 +336,7 @@ class TestChannelPadding:
         assert np.isfinite(np.asarray(high)).all()
 
 
+@pytest.mark.slow
 class TestHieraFamilyPresets:
     """The non-L Hiera family members (published sam2.1_hiera_{t,s,b+}
     configs) are pure configuration: structure checks via eval_shape at

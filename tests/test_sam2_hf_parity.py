@@ -19,6 +19,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # L-scale trunk compiles vs transformers (~4 min cold)
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 

@@ -69,6 +69,7 @@ def _assert_trees_equal(a, b, what):
 
 
 class TestResumeBitExact:
+    @pytest.mark.slow
     def test_resume_matches_uninterrupted_run(self, tmp_path):
         """Train 4 steps straight; separately train 2, checkpoint, restore
         into a DIFFERENT fresh init, train 2 more — identical state."""

@@ -66,6 +66,7 @@ class TestTargetSurface:
 
 
 class TestMergeFold:
+    @pytest.mark.slow
     def test_zero_init_is_identity(self, tiny):
         _cfg, model, variables = tiny
         adapters = lora.init_lora(variables, jax.random.PRNGKey(1), n_trunk_blocks=4)
@@ -192,6 +193,7 @@ class TestLoraTrainStep:
             base_snapshot,
         )
 
+    @pytest.mark.slow
     def test_materialize_serves_trained_state(self, tiny):
         variables, tstate, opt_state, step, images, masks = self._setup(tiny)
         _cfg, model, _v = tiny
@@ -238,6 +240,7 @@ class TestLoraTrainStep:
         masks = jnp.zeros((8, 64, 64))
         step.lower(variables, tstate, opt_state, images, masks)
 
+    @pytest.mark.slow
     def test_adapter_grads_match_folded_kernel_grads(self, tiny):
         """d loss/dA == (alpha/r) * Gw @ Bᵀ and d loss/dB == (alpha/r) *
         Aᵀ @ Gw — the PEFT gradient, derived through the merged kernel."""

@@ -24,6 +24,7 @@ def tiny_model():
 
 
 class TestArchitecture:
+    @pytest.mark.slow
     def test_output_shapes(self, tiny_model):
         model, variables = tiny_model
         x = jnp.zeros((2, 64, 64, 3))
@@ -58,6 +59,7 @@ class TestDecode:
         assert scores.shape == (2, n_anchors, 8)
         assert (np.asarray(scores) >= 0).all() and (np.asarray(scores) <= 1).all()
 
+    @pytest.mark.slow
     def test_boxes_in_image_range(self, tiny_model):
         model, variables = tiny_model
         outs = model.apply(variables, jnp.zeros((1, 64, 64, 3)))
