@@ -319,13 +319,23 @@ def main():
         return dets.boxes, dets.scores, dets.classes, dets.valid, mask
 
     if n_dev > 1:
+        from jax.experimental.shard_map import shard_map
         from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
         mesh = Mesh(np.asarray(devices).reshape(n_dev, 1), ("data", "model"))
         bsh = NamedSharding(mesh, PartitionSpec("data"))
         rep = NamedSharding(mesh, PartitionSpec())
+        # shard_map, not bare pjit: the SAM2 trunk's fused Mosaic kernels
+        # cannot be auto-partitioned by SPMD; per-device execution on the
+        # local batch shard is the pure-DP serving scheme regardless.
+        dp = PartitionSpec("data")
         step = jax.jit(
-            device_step,
+            shard_map(
+                device_step, mesh=mesh,
+                in_specs=(PartitionSpec(), PartitionSpec(), dp, dp),
+                out_specs=(dp, dp, dp, dp, dp),
+                check_rep=False,
+            ),
             in_shardings=(rep, rep, bsh, bsh),
             out_shardings=(bsh, bsh, bsh, bsh, bsh),
         )

@@ -24,12 +24,12 @@ import numpy as np
 from ..core import taxonomy
 from ..core.types import BBox
 from ..train.reader import (
-    CROP_PAD,
     DIRECTIONS,
+    READER_CLASS_NAMES,
     CropReader,
     ReaderConfig,
     decode_value,
-    make_crop,
+    make_value_window,
 )
 
 logger = logging.getLogger(__name__)
@@ -77,7 +77,11 @@ class TrainedReaderClient:
         cls_ids = np.asarray(cls_logits.argmax(-1))[:n]
         val_codes = np.asarray(val_logits.argmax(-1))[:n]
         dir_ids = np.asarray(dir_logits.argmax(-1))[:n]
-        classes = [taxonomy.ID_TO_NAME.get(int(c), "unknown") for c in cls_ids]
+        classes = [
+            READER_CLASS_NAMES[int(c)]
+            if 0 <= int(c) < len(READER_CLASS_NAMES) else "unknown"
+            for c in cls_ids
+        ]
         values = [decode_value(v) for v in val_codes]
         dirs = [DIRECTIONS[int(d)] for d in dir_ids]
         return classes, values, dirs
@@ -99,7 +103,7 @@ class TrainedReaderClient:
         if not jobs:
             return [[] for _ in enum_images]
         crops = np.stack(
-            [make_crop(enum_images[i], b, pad=CROP_PAD) for i, b in jobs]
+            [make_value_window(enum_images[i], b) for i, b in jobs]
         )
         classes, values, _dirs = self._read_crops(crops)
         out: list[list[dict]] = [[] for _ in enum_images]

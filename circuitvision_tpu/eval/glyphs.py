@@ -271,7 +271,11 @@ def draw_value_text(
     spot fit inside the image."""
     from PIL import Image, ImageDraw, ImageFont
 
-    font = ImageFont.load_default()
+    # 14 px: the size printed value labels actually have relative to
+    # ~50 px components on real schematics. The 8 px bitmap default sat
+    # at the OCR legibility floor ('8'↔'6', 'u'↔'n' confusions capped
+    # the trained reader's value accuracy at ~95%).
+    font = ImageFont.load_default(size=14)
     l, t, r, b = font.getbbox(text)
     tw, th = r - l, b - t
     h, w = img.shape[:2]

@@ -200,6 +200,27 @@ def _fused_gate(block_index=None) -> bool:
 
 FLASH_MIN_SEQ = 2048
 
+#: trace-time override for the flash-attention kernel choice. Unlike the
+#: forward-only fused kernels (force_fused), flash HAS a VJP and stays
+#: on during training — but like every Mosaic custom call it cannot be
+#: auto-partitioned by XLA's SPMD pass, so multi-chip pjit programs with
+#: sharded operands must force the einsum path (or wrap in shard_map).
+_FORCE_FLASH = None
+
+
+@contextlib.contextmanager
+def force_flash(value):
+    """Scope the flash-attention gate: False forces einsum attention
+    (SPMD-partitionable), True forces flash, None restores the
+    seq-length/backend auto-detection."""
+    global _FORCE_FLASH
+    old = _FORCE_FLASH
+    _FORCE_FLASH = value
+    try:
+        yield
+    finally:
+        _FORCE_FLASH = old
+
 
 def _flash_block_sizes(n: int):
     from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
@@ -228,7 +249,10 @@ def _flash_or_einsum_attention(q, k, v, scale_dim: int) -> jax.Array:
     scale = scale_dim**-0.5
     head_dim = q.shape[-1]
     n = q.shape[1]
-    use_flash = n >= FLASH_MIN_SEQ and jax.default_backend() not in ("cpu",)
+    if _FORCE_FLASH is not None:
+        use_flash = bool(_FORCE_FLASH)
+    else:
+        use_flash = n >= FLASH_MIN_SEQ and jax.default_backend() not in ("cpu",)
     if use_flash:
         try:
             from jax.experimental.pallas.ops.tpu.flash_attention import (

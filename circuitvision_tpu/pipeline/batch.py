@@ -83,6 +83,25 @@ def _seg_prep_program(h: int, w: int, resolution: int):
     return jax.jit(lambda img_u8: sam2_preprocess(img_u8, resolution))
 
 
+@functools.lru_cache(maxsize=256)
+def _seg_crop_prep_program(img_h: int, img_w: int, crop_h: int, crop_w: int,
+                           resolution: int):
+    """Jitted device-side crop + SAM2 preprocess: slices the crop window
+    out of the ALREADY-UPLOADED full image (the detect phase's uint8
+    upload) instead of re-uploading the crop pixels from host — the crop
+    is most of the image, so this removes the second-largest h→d
+    transfer in the loop. Window position is a traced scalar (one
+    compile per (image shape, crop shape), not per position)."""
+
+    def prep(img_u8, y0, x0):
+        crop = jax.lax.dynamic_slice(
+            img_u8, (y0, x0, jnp.int32(0)), (crop_h, crop_w, 3)
+        )
+        return sam2_preprocess(crop, resolution)
+
+    return jax.jit(prep)
+
+
 @dataclasses.dataclass
 class BatchOutputs:
     """Per-batch device outputs, already on host."""
@@ -106,6 +125,11 @@ class _Staged:
     bboxes: list
     crop_info: object
     mask: Optional[np.ndarray]  # (hc, wc) uint8 0/255 or None
+    #: device-resident full image (the detect phase's uint8 upload),
+    #: reused by the segment phase to slice the crop ON DEVICE instead
+    #: of re-uploading it; None when detection was overridden without a
+    #: device upload (host-crop upload fallback).
+    image_dev: Optional[object] = None
     #: device-resident copy of `mask` (same values) — feeds the batched
     #: topology stage without a host→device re-upload. None when the mask
     #: came from the host (classical fallback) or was overridden.
@@ -140,8 +164,22 @@ class BatchedPipeline:
             )
         self._bsh = NamedSharding(self.mesh, PartitionSpec(self.cfg.mesh.data_axis))
         self._rep = NamedSharding(self.mesh, PartitionSpec())
+        n_data_axis = self.mesh.shape[self.cfg.mesh.data_axis]
+        if n_data_axis > 1:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            dp = P(self.cfg.mesh.data_axis)
+            combined = shard_map(
+                self._device_step, mesh=self.mesh,
+                in_specs=(P(), P(), dp, dp),
+                out_specs=(dp, dp, dp, dp, dp),
+                check_rep=False,
+            )
+        else:
+            combined = self._device_step
         self._step = jax.jit(
-            self._device_step,
+            combined,
             in_shardings=(self._rep, self._rep, self._bsh, self._bsh),
             out_shardings=self._bsh,
         )
@@ -152,7 +190,7 @@ class BatchedPipeline:
         )
         self._segment = (
             jax.jit(
-                self._segment_step,
+                self._wrap_data_parallel(self._segment_step),
                 in_shardings=(self._rep, self._bsh),
                 out_shardings=self._bsh,
             )
@@ -160,6 +198,29 @@ class BatchedPipeline:
             else None
         )
         self._mask_fns: dict = {}  # (h, w) → jitted finalize program
+        self._chunk_imgs_dev = None  # detect-upload handoff (crop-on-device)
+
+    def _wrap_data_parallel(self, step_fn):
+        """Make a (replicated_params, batch) step partitionable over the
+        data axis. With >1 device in the data axis, the SAM2 trunk's
+        fused Mosaic kernels cannot be auto-partitioned by XLA's SPMD
+        pass ("Mosaic kernels cannot be automatically partitioned") —
+        shard_map runs the whole step per-device on its local batch
+        shard, which is exactly the pure-DP serving scheme anyway. One
+        device: plain jit (no wrapper overhead)."""
+        n_data = self.mesh.shape[self.cfg.mesh.data_axis]
+        if n_data <= 1:
+            return step_fn
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        return shard_map(
+            step_fn,
+            mesh=self.mesh,
+            in_specs=(P(), P(self.cfg.mesh.data_axis)),
+            out_specs=P(self.cfg.mesh.data_axis),
+            check_rep=False,
+        )
 
     # -- device programs -------------------------------------------------
     def _detect_step(self, yolo_vars, det_imgs):
@@ -278,8 +339,11 @@ class BatchedPipeline:
         """
         det = self.cfg.detector
         # One device_put for all uploads: the per-image transfers overlap
-        # instead of paying a serial round trip each.
+        # instead of paying a serial round trip each. Retained on self so
+        # the crop phase can hand the device-resident images to the
+        # segment phase (crop-on-device; see _seg_crop_prep_program).
         imgs_dev = jax.device_put(list(chunk))
+        self._chunk_imgs_dev = imgs_dev
         canvases = []
         meta = []  # (scale, pad_x, pad_y, w, h)
         for img, img_dev in zip(chunk, imgs_dev):
@@ -330,14 +394,22 @@ class BatchedPipeline:
 
     def _detect_crop_phase(self, chunk: Sequence[np.ndarray]) -> list[_Staged]:
         """Stages [1]-[2a] for one chunk: detect → cluster crop."""
+        self._chunk_imgs_dev = None
         per_image = self._detect_bboxes(chunk)
+        imgs_dev = self._chunk_imgs_dev or [None] * len(chunk)
+        self._chunk_imgs_dev = None
 
         staged: list[_Staged] = []
-        for img, nms_boxes in zip(chunk, per_image):
+        for img, img_dev, nms_boxes in zip(chunk, imgs_dev, per_image):
             crop, bboxes, info = crop_image_and_adjust_bboxes(
                 img, nms_boxes, self.cfg.crop
             )
-            staged.append(_Staged(img, crop, nms_boxes, bboxes, info, None))
+            if img_dev is not None and tuple(img_dev.shape) != img.shape:
+                img_dev = None  # detection override skipped the upload
+            staged.append(
+                _Staged(img, crop, nms_boxes, bboxes, info, None,
+                        image_dev=img_dev)
+            )
         return staged
 
     def _segment_phase(self, staged: list[_Staged]) -> list[_Staged]:
@@ -346,14 +418,34 @@ class BatchedPipeline:
         logits = None
         if self._segment is not None:
             try:
-                # One overlapped upload for all crops, then one jitted prep
-                # dispatch per crop shape.
+                # Crops slice on device from the detect phase's uploads
+                # where available; only images whose upload was skipped
+                # (detection overrides) pay a host crop upload.
                 s = self.cfg.sam2.resolution
-                crops_dev = jax.device_put([st.crop for st in staged])
-                seg_inputs = [
-                    _seg_prep_program(cd.shape[0], cd.shape[1], s)(cd)
-                    for cd in crops_dev
-                ]
+                pend = [st for st in staged if st.image_dev is None]
+                pend_dev = iter(
+                    jax.device_put([st.crop for st in pend]) if pend else []
+                )
+                seg_inputs = []
+                for st in staged:
+                    hc, wc = st.crop.shape[:2]
+                    if st.image_dev is not None:
+                        ih, iw = st.image.shape[:2]
+                        y0 = x0 = 0
+                        info = st.crop_info
+                        if info is not None and getattr(info, "applied", False) \
+                                and getattr(info, "window", None):
+                            x0, y0 = int(info.window[0]), int(info.window[1])
+                        seg_inputs.append(
+                            _seg_crop_prep_program(ih, iw, hc, wc, s)(
+                                st.image_dev,
+                                jnp.int32(y0), jnp.int32(x0),
+                            )
+                        )
+                    else:
+                        seg_inputs.append(
+                            _seg_prep_program(hc, wc, s)(next(pend_dev))
+                        )
                 while len(seg_inputs) < self.batch_size:
                     seg_inputs.append(jnp.zeros((s, s, 3), jnp.float32))
                 seg_batch = jax.device_put(jnp.stack(seg_inputs), self._bsh)

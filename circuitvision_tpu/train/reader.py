@@ -49,14 +49,27 @@ BLANK = 0
 MAX_VALUE_LEN = 8
 DIRECTIONS = ("NONE", "UP", "DOWN", "LEFT", "RIGHT")
 
-CROP_SIZE = 96
-CROP_PAD = 26  # catches the printed value text adjacent to the box
+#: reader label space: the 62 detector classes PLUS the netlist-map
+#: names that are circuit classes without detector ids ("capacitor",
+#: "current.dc", …) — labeling those with CLASSES.get(name, 0) silently
+#: mapped them to __background__ and capped held-out class accuracy.
+READER_CLASS_NAMES = tuple(
+    sorted(set(taxonomy.CLASSES) | set(taxonomy.NETLIST_MAP))
+)
+READER_CLASS_TO_ID = {n: i for i, n in enumerate(READER_CLASS_NAMES)}
+
+#: value/class crops are NATIVE-resolution windows centered on the box —
+#: resampling a padded box to a fixed size blurred the ~8 px printed
+#: values into ~5% character error, which compounds to ~25% image-level
+#: netlist error. 160² covers a 72 px box plus adjacent text on any side.
+CROP_SIZE = 160
+CROP_PAD = 26  # context pad for the legacy resized crop (direction path)
 
 
 @dataclasses.dataclass(frozen=True)
 class ReaderConfig:
     crop_size: int = CROP_SIZE
-    num_classes: int = len(taxonomy.CLASSES)
+    num_classes: int = len(READER_CLASS_NAMES)
     value_len: int = MAX_VALUE_LEN
     value_vocab: int = len(VALUE_CHARS) + 1  # + blank
     n_directions: int = len(DIRECTIONS)
@@ -91,6 +104,10 @@ class CropReader(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array):
+        # inputs arrive in [0, 1]; schematic crops are ~90% white, so
+        # center to [-1, 1] — without it training sits in a collapsed
+        # all-white basin for hundreds of steps (measured)
+        x = x * 2.0 - 1.0
         w = self.cfg.width
         for i, ch in enumerate((w, 2 * w, 4 * w, 8 * w)):
             x = nn.Conv(ch, (3, 3), strides=(2, 2), use_bias=False,
@@ -100,7 +117,13 @@ class CropReader(nn.Module):
             x = nn.Conv(ch, (3, 3), use_bias=False, name=f"conv{i}b")(x)
             x = nn.LayerNorm(name=f"ln{i}b")(x)
             x = nn.gelu(x)
-        feat = x.mean(axis=(1, 2))  # (B, 8w)
+        # GAP + a coarse spatial grid: average pooling alone erases the
+        # character positions the value head needs; the 5×5 grid keeps
+        # where-ink-is at low cost.
+        gap = x.mean(axis=(1, 2))  # (B, 8w)
+        g = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        grid = nn.Conv(w, (1, 1), name="grid_proj")(g).reshape(x.shape[0], -1)
+        feat = jnp.concatenate([gap, grid], axis=-1)
         feat = nn.gelu(nn.Dense(8 * w, name="trunk_out")(feat))
         cls_logits = nn.Dense(self.cfg.num_classes, name="head_cls")(feat)
         val_logits = nn.Dense(
@@ -122,7 +145,9 @@ def make_crop(image: np.ndarray, box: BBox, pad: int = CROP_PAD,
     """Component crop + context pad, resized to (size, size, 3) uint8.
 
     Host-side (PIL bilinear): crops are data-prep, not device compute;
-    the batched forward is the device program."""
+    the batched forward is the device program. Used for the direction
+    path (the enrichment hands the client pre-cut crops); the value path
+    uses the resampling-free `make_value_window`."""
     from PIL import Image
 
     h, w = image.shape[:2]
@@ -138,9 +163,31 @@ def make_crop(image: np.ndarray, box: BBox, pad: int = CROP_PAD,
     )
 
 
-def reader_loss(model: CropReader, params, crops, cls_ids, val_codes, dir_ids):
+def make_value_window(
+    image: np.ndarray, box: BBox, size: int = CROP_SIZE,
+    jitter: tuple = (0, 0),
+) -> np.ndarray:
+    """NATIVE-resolution (size, size) window centered on the box (plus an
+    optional train-time center jitter), white-padded at image borders —
+    no resampling, so the ~8 px printed value glyphs stay pixel-crisp."""
+    h, w = image.shape[:2]
+    cx = (box.xmin + box.xmax) // 2 + int(jitter[0])
+    cy = (box.ymin + box.ymax) // 2 + int(jitter[1])
+    x0, y0 = cx - size // 2, cy - size // 2
+    out = np.full((size, size, 3), 255, np.uint8)
+    sx0, sy0 = max(0, x0), max(0, y0)
+    sx1, sy1 = min(w, x0 + size), min(h, y0 + size)
+    if sx1 > sx0 and sy1 > sy0:
+        out[sy0 - y0 : sy1 - y0, sx0 - x0 : sx1 - x0] = image[sy0:sy1, sx0:sx1]
+    return out
+
+
+def reader_loss(model: CropReader, params, crops, cls_ids, val_codes, dir_ids,
+                val_w=None):
     """Cross-entropy over the three heads. dir target NONE contributes
-    normally (the model must learn 'no polarity' for R/C/L)."""
+    normally (the model must learn 'no polarity' for R/C/L). val_w
+    (optional (B,) weights) masks the value loss for crops whose value
+    text is out of frame (the serving-geometry direction crops)."""
     cls_logits, val_logits, dir_logits = model.apply(
         params, crops.astype(jnp.float32) / 255.0
     )
@@ -150,7 +197,11 @@ def reader_loss(model: CropReader, params, crops, cls_ids, val_codes, dir_ids):
         return -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
 
     cls_loss = ce(cls_logits, cls_ids).mean()
-    val_loss = ce(val_logits, val_codes).mean()
+    val_ce = ce(val_logits, val_codes).mean(axis=-1)  # (B,)
+    if val_w is None:
+        val_loss = val_ce.mean()
+    else:
+        val_loss = (val_ce * val_w).sum() / jnp.maximum(val_w.sum(), 1.0)
     dir_loss = ce(dir_logits, dir_ids).mean()
     total = cls_loss + 2.0 * val_loss + dir_loss
     return total, {
@@ -162,9 +213,12 @@ def reader_loss(model: CropReader, params, crops, cls_ids, val_codes, dir_ids):
 def make_reader_train_step(model: CropReader, tx):
     import optax
 
-    def step(params, opt_state, crops, cls_ids, val_codes, dir_ids):
+    def step(params, opt_state, crops, cls_ids, val_codes, dir_ids,
+             val_w=None):
         (_, metrics), grads = jax.value_and_grad(
-            lambda p: reader_loss(model, p, crops, cls_ids, val_codes, dir_ids),
+            lambda p: reader_loss(
+                model, p, crops, cls_ids, val_codes, dir_ids, val_w
+            ),
             has_aux=True,
         )(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -182,12 +236,18 @@ def generate_reader_dataset(n_circuits: int, seed0: int):
     """Render n_circuits random schematics with glyphs + printed values
     and cut per-component training crops.
 
+    Two crop geometries per directional component: the value crop
+    (CROP_PAD context, all heads) and a serving-geometry direction crop
+    (pad 15, the reference's VLM crop pad, src/circuit_analyzer.py:2176)
+    whose value loss is masked (the printed value may be out of frame).
+
     Returns dict of arrays: crops (N, S, S, 3) u8, cls (N,) i32,
-    val (N, 8) i32, dir (N,) i32."""
+    val (N, 8) i32, dir (N,) i32, val_w (N,) f32."""
     from ..eval.glyphs import render_schematic
     from ..eval.randomized import random_circuit
 
-    crops, cls_ids, val_codes, dir_ids = [], [], [], []
+    crops, cls_ids, val_codes, dir_ids, val_w = [], [], [], [], []
+    unk = READER_CLASS_TO_ID.get("unknown", 0)
     for i in range(n_circuits):
         mask, boxes = random_circuit(seed0 + i)
         rng = np.random.default_rng(seed0 + i)
@@ -196,14 +256,29 @@ def generate_reader_dataset(n_circuits: int, seed0: int):
             if b.class_name in taxonomy.NETLIST_IGNORE_CLASSES or \
                     b.class_name == "circuit":
                 continue
-            crops.append(make_crop(img, b))
-            cls_ids.append(taxonomy.CLASSES.get(b.class_name, 0))
-            val_codes.append(encode_value(values.get(b.persistent_uid)))
             d = dirs.get(b.persistent_uid)
-            dir_ids.append(DIRECTIONS.index(d) if d in DIRECTIONS else 0)
+            d_id = DIRECTIONS.index(d) if d in DIRECTIONS else 0
+            cid = READER_CLASS_TO_ID.get(b.class_name, unk)
+            vcode = encode_value(values.get(b.persistent_uid))
+            # two jittered native windows per component: the serving
+            # window is exact-centered; jitter teaches invariance to it
+            for jitter in ((0, 0),
+                           tuple(rng.integers(-8, 9, size=2))):
+                crops.append(make_value_window(img, b, jitter=jitter))
+                cls_ids.append(cid)
+                val_codes.append(vcode)
+                dir_ids.append(d_id)
+                val_w.append(1.0)
+            if d_id != 0:
+                crops.append(make_crop(img, b, pad=15))
+                cls_ids.append(cid)
+                val_codes.append(encode_value(None))
+                dir_ids.append(d_id)
+                val_w.append(0.0)
     return {
         "crops": np.stack(crops).astype(np.uint8),
         "cls": np.asarray(cls_ids, np.int32),
         "val": np.stack(val_codes).astype(np.int32),
         "dir": np.asarray(dir_ids, np.int32),
+        "val_w": np.asarray(val_w, np.float32),
     }

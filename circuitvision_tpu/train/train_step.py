@@ -175,7 +175,7 @@ def _trunk_diff_cutoff(mask: dict) -> int:
 
 def make_train_step(
     model, tx, cfg: Optional[TrainConfig] = None, mask: Optional[dict] = None,
-    selective: bool = True,
+    selective: bool = True, multichip: bool = False,
 ):
     """Returns train_step(params, opt_state, images, masks) →
     (params, opt_state, metrics). jit/shard externally with the desired
@@ -198,7 +198,15 @@ def make_train_step(
 
     `mask` must match the mask the optimizer was built with (make_optimizer
     returns it); selective=False restores the round-3 whole-tree autodiff.
-    """
+
+    multichip=True forces the module path (no fused Pallas kernels) for
+    the WHOLE forward: under a multi-device pjit with FSDP-sharded
+    parameters, Mosaic custom calls cannot be auto-partitioned by XLA's
+    SPMD pass ("Mosaic kernels cannot be automatically partitioned" —
+    surfaced by the v5e-8 AOT validation, scripts/aot_validate.py). The
+    module path partitions like any XLA program; the fused kernels
+    remain a single-chip optimization. Single-chip fine-tunes keep the
+    default."""
     cfg = cfg or TrainConfig()
 
     def loss_fn(params: Any, images: jax.Array, masks: jax.Array):
@@ -207,13 +215,21 @@ def make_train_step(
         return combined_loss(logits, iou_pred, masks, cfg)
 
     def train_step(params, opt_state, images, masks):
+        import contextlib
+
         from ..models.sam2 import hiera
 
+        # multichip also forces einsum attention: the flash kernel HAS a
+        # VJP (fine for training) but, like every Mosaic custom call,
+        # cannot be SPMD-partitioned over sharded operands.
+        flash_ctx = (
+            hiera.force_flash(False) if multichip else contextlib.nullcontext()
+        )
         if not selective:
             # Whole-tree autodiff: every Pallas call sits on a
             # differentiated path, so the entire trace takes the module
             # path (the kernels are forward-only, no custom VJP).
-            with hiera.force_fused(False):
+            with hiera.force_fused(False), flash_ctx:
                 (loss, metrics), grads = jax.value_and_grad(
                     loss_fn, has_aux=True
                 )(params, images, masks)
@@ -233,8 +249,10 @@ def make_train_step(
 
             # Module path only from the earliest trainable trunk block on
             # (and for non-trunk kernel sites); the frozen prefix keeps
-            # the fused kernels.
-            with hiera.force_fused(_trunk_diff_cutoff(m)):
+            # the fused kernels. multichip: module path EVERYWHERE (see
+            # docstring — Mosaic custom calls don't SPMD-partition).
+            gate = False if multichip else _trunk_diff_cutoff(m)
+            with hiera.force_fused(gate), flash_ctx:
                 (loss, metrics), gtrain = jax.value_and_grad(
                     split_loss_fn, has_aux=True
                 )(train_leaves, frozen_leaves, images, masks)

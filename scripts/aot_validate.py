@@ -154,12 +154,23 @@ def main():
         high, _low, _iou = sam.apply(sv, imgs)
         return (high[..., 0] > 0).astype(jnp.uint8)
 
+    # shard_map, not bare pjit: the fused Mosaic kernels in the trunk
+    # cannot be auto-partitioned by SPMD (this AOT run is what surfaced
+    # that — the production wrapper is pipeline/batch._wrap_data_parallel)
+    from jax.experimental.shard_map import shard_map
+
+    seg_sharded = shard_map(
+        segment_step, mesh=mesh,
+        in_specs=(PartitionSpec(), PartitionSpec("data")),
+        out_specs=PartitionSpec("data"),
+        check_rep=False,
+    )
     seg_imgs = jax.ShapeDtypeStruct(
         (B, sam_cfg.resolution, sam_cfg.resolution, 3), jnp.float32
     )
     t0 = time.time()
     compiled = (
-        jax.jit(segment_step, in_shardings=(rep, bsh), out_shardings=bsh)
+        jax.jit(seg_sharded, in_shardings=(rep, bsh), out_shardings=bsh)
         .lower(sam_vars, seg_imgs)
         .compile()
     )
@@ -181,7 +192,9 @@ def main():
         tcfg = TrainConfig()
         tx, mask = make_optimizer(train_vars, tcfg)
         opt_state = jax.eval_shape(tx.init, _abs(train_vars))
-        step = make_train_step(sam, tx, tcfg, mask=mask)
+        # multichip: module path throughout — FSDP-sharded params cannot
+        # feed Mosaic custom calls under SPMD partitioning
+        step = make_train_step(sam, tx, tcfg, mask=mask, multichip=True)
 
         param_sh = fsdp_param_shardings(train_vars, tmesh, axis="model", min_size=1024)
         opt_sh = fsdp_param_shardings(opt_state, tmesh, axis="model", min_size=1024)

@@ -273,7 +273,9 @@ def main():
         batch_sh = NamedSharding(mesh, PartitionSpec("data"))
         repl = NamedSharding(mesh, PartitionSpec())
         step = jax.jit(
-            make_train_step(model, tx, tcfg, mask=mask),
+            # multichip: Mosaic kernels don't SPMD-partition over the
+            # sharded mesh; the module path does (train_step docstring)
+            make_train_step(model, tx, tcfg, mask=mask, multichip=True),
             in_shardings=(param_sh, opt_sh, batch_sh, batch_sh),
             out_shardings=(param_sh, opt_sh, repl),
         )

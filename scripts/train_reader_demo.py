@@ -105,11 +105,11 @@ def evaluate_product(params, val_circuits: int, seed0: int) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--train-circuits", type=int, default=1200)
     ap.add_argument("--val-circuits", type=int, default=60)
-    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--log-every", type=int, default=100)
     ap.add_argument("--out", default=None,
                     help="save the trained reader checkpoint here (orbax)")
@@ -138,7 +138,7 @@ def main():
     print(f"reader: {n_params:,} params, {args.steps} steps x batch {args.batch}")
 
     sched = optax.warmup_cosine_decay_schedule(
-        0.0, args.lr, warmup_steps=max(1, args.steps // 20),
+        0.0, args.lr, warmup_steps=max(1, args.steps // 10),
         decay_steps=args.steps, end_value=args.lr * 0.05,
     )
     tx = optax.adamw(sched, weight_decay=1e-4)
@@ -156,6 +156,7 @@ def main():
             jnp.asarray(data["cls"][sel]),
             jnp.asarray(data["val"][sel]),
             jnp.asarray(data["dir"][sel]),
+            jnp.asarray(data["val_w"][sel]),
         )
         if i % args.log_every == 0 or i == args.steps - 1:
             loss = float(metrics["loss"])

@@ -36,16 +36,28 @@ class TestValueCodec:
 
 class TestDataset:
     def test_generates_consistent_arrays(self):
+        from circuitvision_tpu.train.reader import (
+            CROP_SIZE,
+            READER_CLASS_NAMES,
+            READER_CLASS_TO_ID,
+        )
+
         data = generate_reader_dataset(4, seed0=123)
         n = data["crops"].shape[0]
         assert n > 0
-        assert data["crops"].shape[1:] == (96, 96, 3)
+        assert data["crops"].shape[1:] == (CROP_SIZE, CROP_SIZE, 3)
         assert data["cls"].shape == (n,)
         assert data["val"].shape == (n, 8)
         assert data["dir"].shape == (n,)
+        assert data["val_w"].shape == (n,)
         # at least one crop carries a value and all classes are valid ids
         assert (data["val"].sum(axis=1) > 0).any()
         assert (data["cls"] >= 0).all()
+        assert (data["cls"] < len(READER_CLASS_NAMES)).all()
+        # the netlist-map-only names must have REAL ids, not background
+        # (labeling them 0 silently capped held-out class accuracy)
+        assert READER_CLASS_TO_ID["capacitor"] != 0
+        assert READER_CLASS_TO_ID["current.dc"] != 0
 
     def test_deterministic(self):
         a = generate_reader_dataset(2, seed0=55)
@@ -96,20 +108,58 @@ class TestModel:
 
 class TestMakeCrop:
     def test_shape_and_padding(self):
+        from circuitvision_tpu.train.reader import CROP_SIZE
+
         img = np.full((100, 200, 3), 255, np.uint8)
         img[40:60, 90:110] = 0
         from circuitvision_tpu.core.types import BBox
 
         crop = make_crop(img, BBox("resistor", 0.9, 90, 40, 110, 60))
-        assert crop.shape == (96, 96, 3)
+        assert crop.shape == (CROP_SIZE, CROP_SIZE, 3)
         assert (crop < 128).any()  # the dark box is in frame
 
     def test_edge_box_clipped(self):
+        from circuitvision_tpu.train.reader import CROP_SIZE
+
         img = np.full((50, 50, 3), 255, np.uint8)
         from circuitvision_tpu.core.types import BBox
 
         crop = make_crop(img, BBox("resistor", 0.9, -10, -10, 5, 5))
-        assert crop.shape == (96, 96, 3)
+        assert crop.shape == (CROP_SIZE, CROP_SIZE, 3)
+
+    def test_value_window_is_native_resolution(self):
+        """The window must be a pixel-exact excerpt (no resampling)."""
+        from circuitvision_tpu.core.types import BBox
+        from circuitvision_tpu.train.reader import (
+            CROP_SIZE,
+            make_value_window,
+        )
+
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, (300, 400, 3), np.uint8)
+        box = BBox("resistor", 0.9, 180, 140, 220, 180)
+        win = make_value_window(img, box)
+        assert win.shape == (CROP_SIZE, CROP_SIZE, 3)
+        cx, cy = (180 + 220) // 2, (140 + 180) // 2
+        x0, y0 = cx - CROP_SIZE // 2, cy - CROP_SIZE // 2
+        np.testing.assert_array_equal(
+            win, img[y0 : y0 + CROP_SIZE, x0 : x0 + CROP_SIZE]
+        )
+
+    def test_value_window_pads_white_at_border(self):
+        from circuitvision_tpu.core.types import BBox
+        from circuitvision_tpu.train.reader import make_value_window
+
+        from circuitvision_tpu.train.reader import CROP_SIZE
+
+        img = np.zeros((60, 60, 3), np.uint8)
+        win = make_value_window(img, BBox("resistor", 0.9, 0, 0, 10, 10))
+        # window starts at image coord (5 - S/2); image (0, 0) lands at
+        # window (S/2 - 5); everything before it is white padding
+        off = CROP_SIZE // 2 - 5
+        assert (win[0, 0] == 255).all()
+        assert (win[off, off] == 0).all()
+        assert (win[off - 1, off - 1] == 255).all()
 
 
 class TestServingClient:
