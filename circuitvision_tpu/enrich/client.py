@@ -258,8 +258,23 @@ def default_client(enrich=None) -> Optional[VLMClient]:
     `python -m circuitvision_tpu.models.checkpoint convert-paligemma`.
     A trailing ':int8' (paligemma:<dir>:int8) quantizes the decode path
     weight-only at load (models/paligemma/quant.py) — ~half the per-step
-    HBM parameter read."""
+    HBM parameter read.
+
+    CIRCUITVISION_VLM=reader:<orbax_ckpt_dir> selects the in-repo
+    TRAINED crop reader (train/reader.py via enrich/trained_reader.py) —
+    box-driven value/class/direction reads in one batched forward per
+    chunk; train with scripts/train_reader_demo.py --out <dir>."""
     spec = os.getenv("CIRCUITVISION_VLM", "")
+    if spec.startswith("reader:"):
+        # the in-repo trained crop reader (train/reader.py) — box-driven,
+        # one static-shape forward per chunk; checkpoint from
+        # scripts/train_reader_demo.py --out
+        try:
+            from .trained_reader import load_trained_reader
+
+            return load_trained_reader(spec.split(":", 1)[1])
+        except Exception:
+            logger.exception("CIRCUITVISION_VLM=%s failed; falling back", spec)
     if spec.startswith("paligemma:"):
         try:
             import dataclasses
