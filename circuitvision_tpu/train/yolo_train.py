@@ -74,13 +74,25 @@ def init_detect_biases(
 
 
 def make_yolo_optimizer(
-    learning_rate=1e-3, weight_decay: float = 5e-4, warmup_steps: int = 0
+    learning_rate=1e-3, weight_decay: float = 5e-4, warmup_steps: int = 0,
+    total_steps: int = 0, clip_norm: float = 10.0,
 ):
-    """AdamW with optional linear warmup — the standard fine-tune choice
-    (ultralytics defaults to SGD+momentum for from-scratch COCO runs;
-    for transfer fine-tunes AdamW converges in far fewer steps, and
-    steps are what a 1-chip budget buys)."""
-    if warmup_steps > 0:
+    """Global-norm-clipped AdamW with optional warmup (+ cosine decay
+    when total_steps > 0).
+
+    Clipping at 10.0 matches ultralytics' trainer and is load-bearing:
+    an unclipped run diverged mid-training (cls head collapsed to -inf
+    logits, task-aligned assignment then found zero candidates and the
+    loss silently flatlined at 0 with fg=0 — observed at step ~2000 of
+    a 320² nano run). AdamW over ultralytics' from-scratch SGD: transfer
+    /synthetic fine-tunes converge in far fewer steps, and steps are
+    what a 1-chip budget buys."""
+    if total_steps > 0:
+        learning_rate = optax.warmup_cosine_decay_schedule(
+            0.0, learning_rate, warmup_steps=max(1, warmup_steps),
+            decay_steps=total_steps, end_value=learning_rate * 0.05,
+        )
+    elif warmup_steps > 0:
         learning_rate = optax.join_schedules(
             [
                 optax.linear_schedule(0.0, learning_rate, warmup_steps),
@@ -88,7 +100,10 @@ def make_yolo_optimizer(
             ],
             boundaries=[warmup_steps],
         )
-    return optax.adamw(learning_rate, weight_decay=weight_decay)
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.adamw(learning_rate, weight_decay=weight_decay),
+    )
 
 
 def make_yolo_train_step(model, tx, cfg: YOLOLossConfig):

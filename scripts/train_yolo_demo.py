@@ -126,6 +126,10 @@ def main():
     ap.add_argument("--warmup-steps", type=int, default=20)
     ap.add_argument("--log-every", type=int, default=25)
     ap.add_argument("--val-n", type=int, default=16)
+    ap.add_argument("--train-images", type=int, default=600,
+                    help="pre-generated training pool size (per-step "
+                    "on-the-fly rendering costs ~1.3 s/step on a 1-core "
+                    "host and starves the chip; the pool loops epochs)")
     args = ap.parse_args()
 
     from circuitvision_tpu.core.config import DetectorConfig
@@ -155,7 +159,8 @@ def main():
     print(f"YOLOv11-{args.scale} @{args.img_size}: {n_params:,} params, "
           f"{args.steps} steps x batch {args.batch}")
 
-    tx = make_yolo_optimizer(args.lr, warmup_steps=args.warmup_steps)
+    tx = make_yolo_optimizer(args.lr, warmup_steps=args.warmup_steps,
+                             total_steps=args.steps)
     opt = tx.init(params)
     step = jax.jit(make_yolo_train_step(model, tx, loss_cfg))
 
@@ -166,11 +171,32 @@ def main():
     print(f"held-out mAP@50 before training: {m0['map']:.4f}")
 
     t0 = time.time()
+    pool_imgs, pool_gb, pool_gc, pool_gv = [], [], [], []
+    for base in range(0, args.train_images, args.batch):
+        n_b = min(args.batch, args.train_images - base)
+        images, gb, gc, gv, _ = detection_batch(
+            1000 + base, n_b, args.img_size
+        )
+        pool_imgs.append(np.asarray(images))
+        pool_gb.append(np.asarray(gb))
+        pool_gc.append(np.asarray(gc))
+        pool_gv.append(np.asarray(gv))
+    pool_imgs = np.concatenate(pool_imgs)
+    pool_gb = np.concatenate(pool_gb)
+    pool_gc = np.concatenate(pool_gc)
+    pool_gv = np.concatenate(pool_gv)
+    print(f"train pool: {pool_imgs.shape[0]} images "
+          f"({time.time() - t0:.0f}s to generate)")
+
+    rng = np.random.default_rng(0)
+    t0 = time.time()
     loss_first = loss = None
     for i in range(args.steps):
-        images, gb, gc, gv, _ = detection_batch(
-            1000 + i * args.batch, args.batch, args.img_size
-        )
+        sel = rng.integers(0, pool_imgs.shape[0], args.batch)
+        images = jnp.asarray(pool_imgs[sel])
+        gb = jnp.asarray(pool_gb[sel])
+        gc = jnp.asarray(pool_gc[sel])
+        gv = jnp.asarray(pool_gv[sel])
         params, opt, metrics = step(params, opt, images, gb, gc, gv)
         if i % args.log_every == 0 or i == args.steps - 1:
             loss = float(metrics["loss"])

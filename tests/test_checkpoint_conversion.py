@@ -137,6 +137,7 @@ class TestSAM2Conversion:
         # Every LoRA-target weight actually moved (36 modules).
         assert n_changed == len(TINY_TARGETS)
 
+    @pytest.mark.slow
     def test_converted_model_forwards(self, sam2_setup):
         model, variables, template = sam2_setup
         torch_state = sam2_convert.export_torch_state(variables)
@@ -196,6 +197,7 @@ class TestYOLOConversion:
         for name in orig:
             np.testing.assert_array_equal(got[name], orig[name])
 
+    @pytest.mark.slow
     def test_converted_model_forwards(self, yolo_setup):
         cfg, model, variables, template = yolo_setup
         ckpt = yolo_convert.export_torch_state(variables)

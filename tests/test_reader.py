@@ -78,6 +78,7 @@ class TestModel:
         assert val.shape == (3, cfg.value_len, cfg.value_vocab)
         assert d.shape == (3, cfg.n_directions)
 
+    @pytest.mark.slow
     def test_learns_tiny_slice(self):
         """A handful of steps on 32 crops must cut the loss (pins the
         full differentiated path through all three heads)."""

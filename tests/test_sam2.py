@@ -214,6 +214,7 @@ class TestConverter:
 
 
 class TestLayoutPersistentWindows:
+    @pytest.mark.slow
     def test_partitioned_block_equals_windowed_block(self):
         """A window=0 block on the partitioned tensor is numerically
         identical to the windowed block in full layout — the invariant the

@@ -212,6 +212,7 @@ class TestDetectionLoss:
         assert np.isfinite(gmax) and gmax > 0
 
 
+@pytest.mark.slow
 class TestTrainStepLearns:
     def test_loss_decreases_on_tiny_model(self):
         """Nano model @64² with two fixed boxes: a dozen AdamW steps must
