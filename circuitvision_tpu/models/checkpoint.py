@@ -38,7 +38,18 @@ def load_variables(path: str, template: Optional[dict] = None) -> dict:
             lambda x: ocp.ArrayRestoreArgs(dtype=np.asarray(x).dtype), template
         )
         return ckptr.restore(path, restore_args=restore_args)
-    return ckptr.restore(path)
+    try:
+        return ckptr.restore(path)
+    except ValueError:
+        # A checkpoint written on a different topology (e.g. saved on
+        # the TPU, restored under the 8-virtual-CPU test mesh) cannot
+        # infer shardings; restore as host numpy — weights are placed
+        # by the consumer anyway.
+        item_md = ckptr.metadata(path).item_metadata
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), item_md
+        )
+        return ckptr.restore(path, restore_args=restore_args)
 
 
 def convert_yolo_checkpoint(torch_path: str, out_path: str, scale: str = "l",

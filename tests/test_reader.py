@@ -67,6 +67,7 @@ class TestDataset:
 
 
 class TestModel:
+    @pytest.mark.slow
     def test_forward_shapes(self):
         cfg = ReaderConfig(width=8)
         model = CropReader(cfg)
@@ -214,6 +215,63 @@ class TestServingClient:
         client = TrainedReaderClient(params, cfg)
         with pytest.raises(NotImplementedError):
             client.get_labels(np.zeros((10, 10, 3), np.uint8))
+
+
+class TestDefaultClientSelectsReader:
+    def test_env_spec_loads_shipped_checkpoint(self, monkeypatch):
+        """CIRCUITVISION_VLM=reader:<dir> must return the trained
+        reader client (the path the CLI/serving stack takes)."""
+        import os
+
+        from circuitvision_tpu.enrich.client import default_client
+        from circuitvision_tpu.enrich.trained_reader import TrainedReaderClient
+
+        ckpt = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "ckpt", "reader",
+        )
+        if not os.path.isdir(ckpt):
+            pytest.skip("no shipped reader checkpoint")
+        monkeypatch.setenv("CIRCUITVISION_VLM", f"reader:{ckpt}")
+        client = default_client()
+        assert isinstance(client, TrainedReaderClient)
+
+    def test_shipped_reader_reads_a_value(self):
+        """The in-repo checkpoint must actually read: render one circuit
+        with known values and require >0 correct rows (full accuracy is
+        pinned by the training demo; this guards checkpoint/codec drift)."""
+        import dataclasses
+        import os
+
+        from circuitvision_tpu.core import taxonomy
+        from circuitvision_tpu.enrich.trained_reader import load_trained_reader
+        from circuitvision_tpu.eval.glyphs import render_schematic
+        from circuitvision_tpu.eval.randomized import random_circuit
+
+        ckpt = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "ckpt", "reader",
+        )
+        if not os.path.isdir(ckpt):
+            pytest.skip("no shipped reader checkpoint")
+        client = load_trained_reader(ckpt)
+        mask, boxes = random_circuit(990_005)
+        rng = np.random.default_rng(990_005)
+        img, values, _dirs, _tb = render_schematic(mask, boxes, rng)
+        enum_boxes, gt = [], {}
+        vid = 1
+        for b in boxes:
+            if b.class_name in taxonomy.NETLIST_IGNORE_CLASSES or \
+                    b.class_name == "circuit":
+                continue
+            enum_boxes.append(dataclasses.replace(b, visual_id=vid))
+            gt[str(vid)] = (b.class_name, values.get(b.persistent_uid))
+            vid += 1
+        out = client.get_labels_batch_boxes([img], [enum_boxes])[0]
+        ok = sum(
+            1 for r in out if gt.get(r["id"]) == (r["class"], r["value"])
+        )
+        assert ok > 0, out
 
 
 class TestAnalyzerPrefersBoxHook:

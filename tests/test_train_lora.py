@@ -87,6 +87,7 @@ class TestMergeFold:
             }
         return out
 
+    @pytest.mark.slow
     def test_fold_equals_merge_and_changes_forward(self, tiny):
         _cfg, model, variables = tiny
         adapters = self._random_b(

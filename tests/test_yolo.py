@@ -50,6 +50,7 @@ class TestArchitecture:
 
 
 class TestDecode:
+    @pytest.mark.slow
     def test_decode_shapes(self, tiny_model):
         model, variables = tiny_model
         outs = model.apply(variables, jnp.zeros((2, 64, 64, 3)))
@@ -68,6 +69,7 @@ class TestDecode:
         # ltrb distances ≤ reg_max-1 in stride units; boxes stay near image.
         assert b.min() > -16 * 32 and b.max() < 64 + 16 * 32
 
+    @pytest.mark.slow
     def test_postprocess_static_shape(self, tiny_model):
         model, variables = tiny_model
         outs = model.apply(variables, jnp.zeros((1, 64, 64, 3)))
