@@ -76,13 +76,32 @@ class TrainedReaderClient:
 
         total = crops.shape[0]
         n = total // views
-        bucket = next((b for b in _BUCKETS if b >= total), total)
-        if bucket > total:
-            pad = np.zeros((bucket - total, *crops.shape[1:]), crops.dtype)
+        # Pad to a power-of-two bucket; jobs beyond the largest bucket
+        # run as 256-sized sub-batches of the SAME compiled program
+        # (falling through to bucket=total would compile a fresh XLA
+        # program per distinct dense-chunk job count — a recompile
+        # latency cliff at 8 images × ~40 components).
+        cap = _BUCKETS[-1]
+        bucket = next((b for b in _BUCKETS if b >= total), cap)
+        padded_total = bucket if total <= cap else -(-total // cap) * cap
+        if padded_total > total:
+            pad = np.zeros(
+                (padded_total - total, *crops.shape[1:]), crops.dtype
+            )
             crops = np.concatenate([crops, pad], axis=0)
-        cls_logits, val_logits, dir_logits = self._fwd(
-            self.params, jnp.asarray(crops)
-        )
+        if padded_total <= cap:
+            cls_logits, val_logits, dir_logits = self._fwd(
+                self.params, jnp.asarray(crops)
+            )
+        else:
+            parts = [
+                self._fwd(self.params, jnp.asarray(crops[s : s + cap]))
+                for s in range(0, padded_total, cap)
+            ]
+            cls_logits, val_logits, dir_logits = (
+                jnp.concatenate([p[k] for p in parts], axis=0)
+                for k in range(3)
+            )
 
         def mean_probs(logits):
             p = np.asarray(jax.nn.softmax(logits, axis=-1))[:total]

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import io
+import zlib
 from typing import Callable, Optional
 
 import numpy as np
@@ -239,8 +240,10 @@ def degrade(
     if tier not in DEGRADE_TIERS:
         raise KeyError(f"unknown degradation tier {tier!r}; "
                        f"have {sorted(DEGRADE_TIERS)}")
+    # zlib.crc32 is process-stable (built-in hash() is salted per process
+    # via PYTHONHASHSEED, which silently broke cross-run determinism).
     rng = np.random.default_rng(
-        np.random.SeedSequence([seed, hash(tier) & 0x7FFFFFFF])
+        np.random.SeedSequence([seed, zlib.crc32(tier.encode()) & 0x7FFFFFFF])
     )
     out, warp = DEGRADE_TIERS[tier](np.asarray(image), rng)
     new_boxes, new_mask = boxes, mask

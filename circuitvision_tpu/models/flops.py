@@ -95,6 +95,15 @@ def _walk(jaxpr) -> float:
             total += _dot_general_flops(eqn)
         elif name == "conv_general_dilated":
             total += _conv_flops(eqn)
+        elif name == "cond":
+            # Exactly one branch executes at runtime — summing both
+            # would overstate FLOPs wherever a cond holds matmuls. Take
+            # the max branch (the conservative upper bound on real work).
+            branches = eqn.params.get("branches", ())
+            branch_costs = [
+                _walk(sub) for b in branches for sub in _subjaxprs(b)
+            ]
+            total += max(branch_costs, default=0.0)
         else:
             for v in eqn.params.values():
                 for sub in _subjaxprs(v):
@@ -134,9 +143,15 @@ _CACHE_PATH = os.path.join(
 )
 
 
+#: Bump when the counting logic or a counted architecture changes —
+#: folded into every cache key so stale on-disk counts self-invalidate.
+FLOPS_COUNT_VERSION = 2
+
+
 def cached_flops(key: str, compute) -> float:
     """Memoize an expensive trace-and-count under .jax_cache (tracing
     SAM2-L takes ~1 min on a 1-core host; the count is config-pure)."""
+    key = f"v{FLOPS_COUNT_VERSION}:{key}"
     cache = {}
     try:
         with open(_CACHE_PATH) as f:

@@ -11,6 +11,7 @@ first-class, TPU-resident operation.
 """
 from __future__ import annotations
 
+import logging
 from typing import Optional, Sequence
 
 import jax
@@ -35,6 +36,16 @@ def targets_from_boxes(
     pixel space (letterboxed)."""
     class_to_id = class_to_id or dict(CLASSES)
     B = len(boxes_per_image)
+    dropped = sum(max(0, len(b) - max_gt) for b in boxes_per_image)
+    if dropped:
+        # Silent truncation turns real components into implicit
+        # background that penalizes correct detections during training —
+        # surface it so callers size max_gt from their data.
+        logging.getLogger(__name__).warning(
+            "targets_from_boxes: dropping %d ground-truth boxes over "
+            "max_gt=%d (max per image: %d) — raise max_gt",
+            dropped, max_gt, max(len(b) for b in boxes_per_image),
+        )
     gt_boxes = np.zeros((B, max_gt, 4), np.float32)
     gt_classes = np.zeros((B, max_gt), np.int32)
     gt_valid = np.zeros((B, max_gt), bool)

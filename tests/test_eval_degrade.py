@@ -43,6 +43,25 @@ class TestTiers:
         b, _, _ = degrade(img, "perspective", seed=2, boxes=[box], mask=mask)
         assert not np.array_equal(a, b)
 
+    def test_process_stable_pinned_values(self):
+        """The tier RNG must not depend on the per-process hash salt
+        (PYTHONHASHSEED): pin a digest of each tier's output so a future
+        regression to built-in hash() fails across processes."""
+        import hashlib
+
+        img, mask, box = _scene()
+        digests = {}
+        for tier in sorted(DEGRADE_TIERS):
+            out, _, _ = degrade(img, tier, seed=7, boxes=[box], mask=mask)
+            digests[tier] = hashlib.sha256(out.tobytes()).hexdigest()[:16]
+        assert digests == {
+            "blur": "cf5297ef736e9bc5",
+            "jpeg": "6ef0ae0d93bc3f9a",
+            "perspective": "bdf9ba5018f62300",
+            "shadow": "538934b67279d0e2",
+            "wobble": "8ae969c1f81be5d5",
+        }
+
     def test_unknown_tier_raises(self):
         img, _, _ = _scene()
         with pytest.raises(KeyError, match="unknown"):
