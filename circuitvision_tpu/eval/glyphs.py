@@ -206,6 +206,19 @@ def draw_glyph(img: np.ndarray, box: BBox, direction: Optional[str] = None,
             ys = cy + np.sin(np.linspace(0, 2 * np.pi, 24)) * max(2, rad // 3)
             for a, b in zip(zip(xs[:-1], ys[:-1]), zip(xs[1:], ys[1:])):
                 _line(img, a, b, t=2)
+            if direction is not None:
+                # explicit polarity: '+' on the positive side (the SIGN
+                # evidence the reference's direction VLM reads off AC
+                # sources, src/circuit_analyzer.py:2051-2075) — drawn
+                # only when a direction is pinned so legacy renders
+                # (no ac direction) are unchanged.
+                off = rad // 2 + 2
+                pos = {
+                    "UP": (cx, cy - off), "DOWN": (cx, cy + off),
+                    "LEFT": (cx - off, cy), "RIGHT": (cx + off, cy),
+                }[d]
+                _hline(img, pos[1], pos[0] - 3, pos[0] + 3, t=2)
+                _vline(img, pos[0], pos[1] - 3, pos[1] + 3, t=2)
         else:  # current source: arrow toward `direction`
             ln = rad - 3
             tip = {
@@ -300,7 +313,11 @@ def draw_value_text(
         if (region < 128).any():  # would overprint wires/glyphs
             continue
         pil = Image.fromarray(img)
-        ImageDraw.Draw(pil).text((x, y - l * 0), text, fill=(0, 0, 0), font=font)
+        # Offset by the font bearing (l, t) so the rendered ink lands
+        # exactly on [x, x+tw) x [y, y+th) — the rect recorded below and
+        # checked for occupancy above. Without this the glyphs sat ~t px
+        # below the GT box (vertical label misalignment for training).
+        ImageDraw.Draw(pil).text((x - l, y - t), text, fill=(0, 0, 0), font=font)
         img[:] = np.asarray(pil)
         taken.append(rect)
         return BBox(
@@ -309,6 +326,35 @@ def draw_value_text(
             xmax=int(rect[2]), ymax=int(rect[3]),
         )
     return None
+
+
+_ANNOTATION_WORDS = (
+    "Vout", "Vin", "node A", "node B", "Fig. 1", "R eq", "I1", "KVL",
+    "loop 1", "mesh 2", "Vs", "out", "in+", "ckt",
+)
+
+
+def draw_annotation_text(
+    img: np.ndarray, box: BBox, rng: np.random.Generator
+) -> None:
+    """Fill a `text`-class GT box with plausible schematic annotation
+    ink (clipped to the box interior)."""
+    from PIL import Image, ImageDraw, ImageFont
+
+    h, w = img.shape[:2]
+    x0, y0 = _clip(box.xmin, 0, w - 1), _clip(box.ymin, 0, h - 1)
+    x1, y1 = _clip(box.xmax, 0, w), _clip(box.ymax, 0, h)
+    bh, bw = y1 - y0, x1 - x0
+    if bh < 6 or bw < 8:
+        return
+    word = str(rng.choice(_ANNOTATION_WORDS))
+    size = max(8, min(16, bh - 2))
+    font = ImageFont.load_default(size=size)
+    region = Image.fromarray(img[y0:y1, x0:x1])
+    l, t, _r, _b = font.getbbox(word)
+    ImageDraw.Draw(region).text((1 - l, 1 - t), word, fill=(0, 0, 0),
+                                font=font)
+    img[y0:y1, x0:x1] = np.asarray(region)
 
 
 #: ASCII value grammar per class family (what the stage-2 VLM reads and
@@ -345,6 +391,9 @@ def render_schematic(
     boxes: Sequence[BBox],
     rng: np.random.Generator,
     with_values: bool = True,
+    value_overrides: Optional[dict] = None,
+    direction_overrides: Optional[dict] = None,
+    base_image: Optional[np.ndarray] = None,
 ):
     """Class-distinct render of a synthetic circuit.
 
@@ -352,9 +401,21 @@ def render_schematic(
     wires black on white, per-class glyphs inside boxes, printed values
     adjacent (as detectable `text` boxes), and the sampled polarity
     direction per polarized component (ground truth for a direction
-    reader)."""
-    img = np.full((mask.shape[0], mask.shape[1], 3), 255, np.uint8)
-    img[mask > 0] = 0
+    reader).
+
+    value_overrides / direction_overrides: {persistent_uid: value/dir}
+    pin what gets printed instead of sampling — the full-model eval set
+    renders the exact values/directions its canned stage-1/2 VLM labels
+    assert, so a pixels-only reader reproduces the pinned netlists.
+
+    base_image: pre-inked wires (e.g. hand-drawn strokes from
+    eval/handdrawn.py) — glyphs/values draw on top of it instead of the
+    crisp `mask > 0` rasterization."""
+    if base_image is not None:
+        img = base_image
+    else:
+        img = np.full((mask.shape[0], mask.shape[1], 3), 255, np.uint8)
+        img[mask > 0] = 0
     values: dict = {}
     directions: dict = {}
     text_boxes: list[BBox] = []
@@ -362,19 +423,46 @@ def render_schematic(
         (b.xmin, b.ymin, b.xmax, b.ymax) for b in boxes
     ]
     for b in boxes:
-        if b.class_name in ("junction", "crossover", "circuit", "text",
-                            "explanatory"):
+        if b.class_name in ("text", "explanatory"):
+            # Layout-supplied annotation boxes arrive ink-free; fill them
+            # with plausible label text so `text` is a learnable detector
+            # class (a blank GT region is pure label noise) — ink stays
+            # inside the box, so topology subtraction is unchanged.
+            draw_annotation_text(img, b, rng)
+            continue
+        if b.class_name == "junction":
+            # solder-dot on the wire (junction boxes are preserved during
+            # topology subtraction, so the extra ink only thickens the
+            # already-connected crossing locally)
+            ccx, ccy = (b.xmin + b.xmax) // 2, (b.ymin + b.ymax) // 2
+            r = max(2, min(b.width, b.height) // 3)
+            yy, xx = np.mgrid[
+                max(0, ccy - r) : min(img.shape[0], ccy + r + 1),
+                max(0, ccx - r) : min(img.shape[1], ccx + r + 1),
+            ]
+            img[yy.ravel(), xx.ravel()] = np.where(
+                ((yy - ccy) ** 2 + (xx - ccx) ** 2 <= r * r).ravel()[:, None],
+                0, img[yy.ravel(), xx.ravel()],
+            )
+            continue
+        if b.class_name in ("crossover", "circuit"):
             continue
         d = None
-        if b.class_name in ("voltage.dc", "voltage.battery", "current.dc",
-                            "voltage.dependent", "current.dependent") or \
+        if b.class_name in ("voltage.dc", "voltage.battery", "voltage.ac",
+                            "current.dc", "voltage.dependent",
+                            "current.dependent") or \
                 b.class_name.startswith("diode"):
-            d = str(rng.choice(["UP", "DOWN"] if b.height >= b.width
-                               else ["LEFT", "RIGHT"]))
+            d = (direction_overrides or {}).get(b.persistent_uid)
+            if d is None:
+                d = str(rng.choice(["UP", "DOWN"] if b.height >= b.width
+                                   else ["LEFT", "RIGHT"]))
             directions[b.persistent_uid] = d
         draw_glyph(img, b, direction=d, rng=rng)
         if with_values:
-            v = random_value(b.class_name, rng)
+            if value_overrides is not None and b.persistent_uid in value_overrides:
+                v = value_overrides[b.persistent_uid]
+            else:
+                v = random_value(b.class_name, rng)
             if v is not None:
                 tb = draw_value_text(img, b, v, taken)
                 if tb is not None:

@@ -251,8 +251,31 @@ def ac_rc() -> SynthCircuit:
     )
 
 
+def _glyphify(c: SynthCircuit, seed: int) -> SynthCircuit:
+    """Re-render a hand-built circuit with class-distinct glyphs and
+    printed values pinned to its canned stage-2 labels (topology pins
+    unchanged: all new ink lands inside GT boxes, and printed values
+    equal the canned rows byte-for-byte)."""
+    from .glyphs import render_schematic
+
+    rng = np.random.default_rng(seed)
+    img, _vals, _dirs, text_boxes = render_schematic(
+        c.wire_mask, c.boxes, rng,
+        value_overrides=_value_overrides_from_labels(c.boxes, c.vlm_labels),
+        direction_overrides=_direction_overrides(c.boxes, c.directions),
+    )
+    return dataclasses.replace(
+        c, image=img, boxes=list(c.boxes) + list(text_boxes)
+    )
+
+
 def make_circuits() -> list[SynthCircuit]:
-    return [golden(), loop(), parallel_r(), series_rl(), ac_rc()]
+    return [
+        _glyphify(c, seed=11 + i)
+        for i, c in enumerate(
+            [golden(), loop(), parallel_r(), series_rl(), ac_rc()]
+        )
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -329,18 +352,74 @@ def _pinned() -> dict:
     return {}
 
 
+_VALID_DIRS = {"UP", "DOWN", "LEFT", "RIGHT"}
+
+
+def _direction_overrides(boxes, directions: dict) -> dict:
+    """{uid: direction} for glyph rendering from a class-level canned
+    direction map — the drawn polarity marks then agree with what the
+    frozen VLM will assert, so pixels-only readers reproduce the pins."""
+    out = {}
+    for b in boxes:
+        d = directions.get(b.class_name)
+        if d and d[0] in _VALID_DIRS:
+            out[b.persistent_uid] = d[0]
+    return out
+
+
+def _value_overrides_from_labels(boxes, labels) -> dict:
+    """{uid: value-or-None} pinning printed values to the canned stage-2
+    rows (None suppresses printing so pixels carry exactly the canned
+    values, no more)."""
+    out = {}
+    rows = iter(labels)
+    for b in boxes:
+        if b.class_name in _NON_ENUM:
+            continue
+        row = next(rows, None)
+        if row is None:
+            break
+        out[b.persistent_uid] = row.get("value")
+    return out
+
+
+def _labels_from_values(boxes, values: dict) -> list:
+    """Canned stage-2 rows whose values are exactly what the render
+    printed (sampled values become the frozen-VLM ground truth)."""
+    out, vid = [], 1
+    for b in boxes:
+        if b.class_name in _NON_ENUM:
+            continue
+        out.append({"id": str(vid), "class": b.class_name,
+                    "value": values.get(b.persistent_uid)})
+        vid += 1
+    return out
+
+
 def _from_mask(name, category, mask, boxes, pins, directions=None,
                exif_orientation=0) -> SynthCircuit:
+    """Glyph-rendered circuit: class-distinct symbols + printed values
+    (sampled, then canned as the frozen-VLM rows) + annotation ink in
+    `text` boxes. Value-text boxes join the GT detections, so the
+    full-model eval scores text detection too."""
+    from .glyphs import render_schematic
+
+    import zlib
+
+    dirs = dict(directions if directions is not None else _HOSTILE_DIRECTIONS)
+    rng = np.random.default_rng(zlib.crc32(name.encode()))
+    img, values, _dirs, text_boxes = render_schematic(
+        mask, boxes, rng,
+        direction_overrides=_direction_overrides(boxes, dirs),
+    )
     pin = pins.get(name, {})
     return SynthCircuit(
         name=name,
-        image=_render_image(mask, boxes),
-        boxes=boxes,
+        image=img,
+        boxes=list(boxes) + list(text_boxes),
         wire_mask=mask,
-        vlm_labels=_labels_for(boxes),
-        directions=dict(
-            directions if directions is not None else _HOSTILE_DIRECTIONS
-        ),
+        vlm_labels=_labels_from_values(boxes, values),
+        directions=dirs,
         netlist_text=pin.get("final", ""),
         valueless_text=pin.get("valueless", ""),
         category=category,
@@ -459,7 +538,7 @@ def exif_circuits(pins) -> list[SynthCircuit]:
     """Upright circuits stored PRE-rotated with EXIF orientation tags —
     the ingest path must auto-rotate (reference EXIF transpose,
     src/analysis_pipeline.py:67-77)."""
-    base = [golden(), loop(), parallel_r()]
+    base = make_circuits()[:3]  # glyphified golden / loop / parallel_r
     out = []
     for i, (c, orient) in enumerate(zip(base, (6, 8, 3))):
         pin = pins.get(f"exif_{i}", {})
@@ -538,6 +617,263 @@ def degenerate_circuits(pins) -> list[SynthCircuit]:
     return out
 
 
+def randomized_glyph_circuits(pins) -> list[SynthCircuit]:
+    """Randomized glyph-rendered ladders (seeds disjoint from every
+    training pool) — the bulk of the full-model eval corpus."""
+    from .randomized import random_circuit
+
+    out = []
+    for i in range(16):
+        mask, boxes = random_circuit(7100 + i)
+        for b in boxes:  # class-level directions come from the VLM stage
+            b.semantic_direction = None
+            b.semantic_reason = None
+        out.append(_from_mask(f"fm_{i}", "randomized-glyph", mask, boxes, pins))
+    return out
+
+
+def nested_loop_circuits(pins) -> list[SynthCircuit]:
+    """Wire loops inside wire loops (SURVEY §7 hard part #2): contour
+    extraction must keep RETR_EXTERNAL semantics for enclosed rings."""
+    out = []
+
+    # nested_0: outer V+R loop; UNCONNECTED inner loop with R+C (its own
+    # two nets — a floating subcircuit fully inside the outer ring).
+    # Components sit on every outer side so the box-driven crop window
+    # (pad 80, src/circuit_analyzer.py:1183-1232) keeps the whole ring.
+    c = _Canvas(420, 560)
+    c.hwire(50, 50, 473)
+    c.hwire(370, 50, 473)
+    c.vwire(50, 50, 373)
+    c.vwire(470, 50, 373)
+    c.hwire(150, 150, 373)
+    c.hwire(270, 150, 373)
+    c.vwire(150, 150, 273)
+    c.vwire(370, 150, 273)
+    boxes = [
+        _bbox("voltage.dc", 35, 170, 68, 250),
+        _bbox("resistor", 200, 35, 300, 68),
+        _bbox("resistor", 135, 180, 168, 240),
+        _bbox("capacitor", 355, 180, 388, 240),
+        _bbox("resistor", 453, 170, 486, 250),   # outer right column
+        _bbox("resistor", 200, 353, 280, 386),   # outer bottom rail
+    ]
+    out.append(_from_mask("nested_0", "nested-loop", c.mask, boxes, pins))
+
+    # nested_1: inner loop CONNECTED to the outer by a rung — one merged
+    # contour ring system.
+    c = _Canvas(420, 560)
+    c.hwire(50, 50, 473)
+    c.hwire(370, 50, 473)
+    c.vwire(50, 50, 373)
+    c.vwire(470, 50, 373)
+    c.hwire(150, 150, 373)
+    c.hwire(270, 150, 373)
+    c.vwire(150, 150, 273)
+    c.vwire(370, 150, 273)
+    c.vwire(260, 50, 153)  # connecting rung outer-top → inner-top
+    boxes = [
+        _bbox("voltage.dc", 35, 170, 68, 250),
+        _bbox("resistor", 245, 85, 278, 130),   # on the connecting rung
+        _bbox("resistor", 135, 180, 168, 240),
+        _bbox("capacitor", 355, 180, 388, 240),
+    ]
+    out.append(_from_mask("nested_1", "nested-loop", c.mask, boxes, pins))
+
+    # nested_2: three concentric rings, middle one bridged to both.
+    c = _Canvas(520, 620)
+    for inset, y0, y1 in ((50, 50, 460), (140, 140, 370), (230, 230, 280)):
+        c.hwire(y0, inset, 620 - inset + 3)
+        c.hwire(y1, inset, 620 - inset + 3)
+        c.vwire(inset, y0, y1 + 3)
+        c.vwire(620 - inset, y0, y1 + 3)
+    c.vwire(300, 50, 143)    # outer→middle bridge
+    c.vwire(380, 370, 463)   # middle→outer bottom bridge
+    c.vwire(450, 140, 233)   # middle→inner bridge
+    boxes = [
+        _bbox("voltage.dc", 35, 200, 68, 300),
+        _bbox("resistor", 285, 85, 318, 128),
+        _bbox("resistor", 365, 395, 398, 445),
+        _bbox("capacitor", 125, 220, 158, 290),
+        _bbox("inductor", 250, 215, 300, 248),   # on the innermost ring
+        _bbox("capacitor", 300, 265, 370, 298),  # inner bottom rail
+        _bbox("resistor", 553, 220, 586, 290),   # outer right column
+    ]
+    out.append(_from_mask("nested_2", "nested-loop", c.mask, boxes, pins))
+
+    # nested_3: inner loop sharing a rail segment with the outer loop.
+    c = _Canvas(400, 520)
+    c.hwire(60, 60, 433)
+    c.hwire(330, 60, 433)
+    c.vwire(60, 60, 333)
+    c.vwire(430, 60, 333)
+    c.hwire(190, 160, 343)   # inner loop top
+    c.vwire(160, 190, 333)   # inner left drops to the SHARED bottom rail
+    c.vwire(340, 190, 333)   # inner right drops to the shared rail
+    boxes = [
+        _bbox("voltage.dc", 45, 150, 78, 240),
+        _bbox("resistor", 200, 45, 300, 78),
+        _bbox("resistor", 145, 230, 178, 290),
+        _bbox("capacitor", 325, 230, 358, 290),
+    ]
+    out.append(_from_mask("nested_3", "nested-loop", c.mask, boxes, pins))
+    return out
+
+
+def border_wire_circuits(pins) -> list[SynthCircuit]:
+    """Wires running ON the raster border and boxes clipped at 0 — the
+    border-touching external-contour semantics beyond edge_3."""
+    out = []
+
+    # border_0: full border ring as the circuit loop, component boxes
+    # clipped at the image edges (one on each border so the box-driven
+    # crop window reaches all four).
+    c = _Canvas(300, 420)
+    c.hwire(0, 0, 420)
+    c.hwire(297, 0, 420)
+    c.vwire(0, 0, 300)
+    c.vwire(417, 0, 300)
+    boxes = [
+        _bbox("voltage.dc", 0, 100, 28, 180),     # clipped at xmin=0
+        _bbox("resistor", 150, 0, 250, 28),       # clipped at ymin=0
+        _bbox("resistor", 392, 100, 420, 180),    # clipped at xmax=W
+        _bbox("capacitor", 150, 272, 250, 300),   # clipped at ymax=H
+    ]
+    out.append(_from_mask("border_0", "border-wire", c.mask, boxes, pins))
+
+    # border_1: comb of wires entering from the top border, tied by one
+    # bottom rail (components low enough that the 80 px crop padding
+    # keeps the rail — reference crops are box-driven,
+    # src/circuit_analyzer.py:1183-1232).
+    c = _Canvas(340, 480)
+    c.hwire(0, 60, 343)      # tying rail ON the top border
+    for x in (60, 200, 340):
+        c.vwire(x, 0, 218)
+    c.hwire(215, 60, 343)
+    boxes = [
+        _bbox("voltage.dc", 45, 60, 78, 140),
+        _bbox("resistor", 185, 60, 218, 140),
+        _bbox("resistor", 325, 60, 358, 140),
+    ]
+    out.append(_from_mask("border_1", "border-wire", c.mask, boxes, pins))
+
+    # border_2: L-shaped run hugging two borders with a gnd stub.
+    c = _Canvas(320, 440)
+    c.hwire(0, 0, 440)
+    c.vwire(0, 0, 320)
+    c.hwire(150, 0, 240)
+    c.vwire(237, 0, 153)
+    boxes = [
+        _bbox("voltage.dc", 0, 40, 30, 110),
+        _bbox("resistor", 100, 135, 180, 168),
+        _bbox("resistor", 222, 40, 255, 110),
+        _bbox("gnd", 90, 0, 130, 26),
+    ]
+    out.append(_from_mask("border_2", "border-wire", c.mask, boxes, pins))
+    return out
+
+
+def aspect_circuits(pins) -> list[SynthCircuit]:
+    """Extreme aspect ratios: the resize-to-H600 analysis space blows
+    wide rasters up ~3x in width and squeezes tall ones."""
+    out = []
+
+    # aspect_0/1: very wide chains (1400x240, 1200x200). Rung spacing
+    # stays under the cluster proximity threshold (~2x the 68 px
+    # component diagonal, src/circuit_analyzer.py:1003-1023) so the
+    # whole chain is ONE cluster and the crop keeps it all.
+    for i, w in enumerate((1400, 1200)):
+        c = _Canvas(240, w)
+        c.hwire(40, 40, w - 40)
+        c.hwire(190, 40, w - 40)
+        xs = np.arange(70, w - 60, 110)
+        boxes = []
+        for j, x in enumerate(xs):
+            c.vwire(int(x), 40, 193)
+            cls = "voltage.dc" if j == 0 else ("capacitor" if j % 3 == 2
+                                               else "resistor")
+            boxes.append(_bbox(cls, int(x) - 17, 85, int(x) + 16, 145))
+        out.append(_from_mask(f"aspect_{i}", "extreme-aspect", c.mask,
+                              boxes, pins))
+
+    # aspect_2/3: very tall ladders (1100x260, 900x220).
+    for i, h in enumerate((1100, 900)):
+        c = _Canvas(h, 260)
+        c.vwire(40, 40, h - 40)
+        c.vwire(210, 40, h - 40)
+        ys = np.arange(70, h - 60, 110)
+        boxes = []
+        for j, y in enumerate(ys):
+            c.hwire(int(y), 40, 213)
+            cls = "voltage.dc" if j == 0 else ("inductor" if j % 3 == 2
+                                               else "resistor")
+            boxes.append(_bbox(cls, 95, int(y) - 17, 155, int(y) + 16))
+        out.append(_from_mask(f"aspect_{i + 2}", "extreme-aspect", c.mask,
+                              boxes, pins))
+    return out
+
+
+def multiterminal_circuits(pins) -> list[SynthCircuit]:
+    """Components touching THREE distinct nets (transistors, op-amp
+    style) — the netlist stage must pick its two nodes deterministically
+    (reference: first other node containing the same uid,
+    src/circuit_analyzer.py:1660-1665)."""
+    out = []
+    for i, seed in enumerate((41, 42, 43, 44)):
+        rng = np.random.default_rng(seed)
+        c = _Canvas(400, 560)
+        c.hwire(100, 60, 503)          # top rail (within crop padding)
+        c.hwire(300, 60, 503)          # bottom rail
+        # source rung
+        c.vwire(100, 100, 303)
+        # transistor rung: vertical wire through the bjt box...
+        tx = 260 + int(rng.integers(-30, 30))
+        c.vwire(tx, 100, 303)
+        # ...plus a base tap entering from a third net
+        by = 195 + int(rng.integers(-10, 10))
+        c.hwire(by, tx - 110, tx)
+        c.vwire(tx - 110, by, 303)     # base branch ties to bottom rail
+        boxes = [
+            _bbox("voltage.dc", 85, 150, 118, 240),
+            _bbox("transistor.bjt", tx - 26, by - 35, tx + 28, by + 35),
+            _bbox("resistor", tx - 125, 235, tx - 92, 295),
+        ]
+        # an extra load on the right
+        c.vwire(430, 100, 303)
+        boxes.append(_bbox("resistor", 415, 150, 448, 240))
+        out.append(_from_mask(f"multiterm_{i}", "multi-terminal", c.mask,
+                              boxes, pins))
+    return out
+
+
+def handdrawn_circuits(pins) -> list[SynthCircuit]:
+    """Hand-drawn-style renders (eval/handdrawn.py): wobbly pen strokes
+    with curvature and width variation — the reference's real-photo
+    domain proxy (README.md:119, 267 hand-drawn fine-tune images)."""
+    from .handdrawn import handdrawn_circuit
+
+    out = []
+    for i in range(8):
+        img, mask, boxes, values, _dirs, text_boxes = handdrawn_circuit(
+            8200 + i, direction_overrides_classes=_HOSTILE_DIRECTIONS
+        )
+        pin = pins.get(f"hand_{i}", {})
+        out.append(
+            SynthCircuit(
+                name=f"hand_{i}",
+                image=img,
+                boxes=list(boxes) + list(text_boxes),
+                wire_mask=mask,
+                vlm_labels=_labels_from_values(boxes, values),
+                directions=dict(_HOSTILE_DIRECTIONS),
+                netlist_text=pin.get("final", ""),
+                valueless_text=pin.get("valueless", ""),
+                category="hand-drawn",
+            )
+        )
+    return out
+
+
 def make_hostile_circuits() -> list[SynthCircuit]:
     pins = _pinned()
     return (
@@ -546,11 +882,17 @@ def make_hostile_circuits() -> list[SynthCircuit]:
         + multi_cluster_circuits(pins)
         + exif_circuits(pins)
         + degenerate_circuits(pins)
+        + randomized_glyph_circuits(pins)
+        + nested_loop_circuits(pins)
+        + border_wire_circuits(pins)
+        + aspect_circuits(pins)
+        + multiterminal_circuits(pins)
+        + handdrawn_circuits(pins)
     )
 
 
 def make_all_circuits() -> list[SynthCircuit]:
-    """5 basic + 19 hostile circuits (the full eval set)."""
+    """5 basic + 58 hostile circuits (the full eval set)."""
     return make_circuits() + make_hostile_circuits()
 
 

@@ -52,6 +52,40 @@ def load_variables(path: str, template: Optional[dict] = None) -> dict:
         return ckptr.restore(path, restore_args=restore_args)
 
 
+def save_model_checkpoint(path: str, variables: dict, meta: dict) -> None:
+    """Variables + a meta.json sidecar describing the model config.
+
+    Layout: <path>/variables (orbax tree) + <path>/meta.json. The meta
+    carries whatever the producing trainer wants consumers to know —
+    e.g. {"kind": "yolo", "detector": {...DetectorConfig fields...}} —
+    so eval/serving can reconstruct the right architecture without
+    out-of-band flags (the reference bakes this into hard-coded model
+    paths + a Hydra yaml, src/circuit_analyzer.py:39-44, 203-223)."""
+    import json
+
+    os.makedirs(path, exist_ok=True)
+    save_variables(os.path.join(path, "variables"), variables)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+
+
+def load_model_checkpoint(path: str) -> tuple[dict, dict]:
+    """Load (variables, meta) from save_model_checkpoint's layout; also
+    accepts a bare orbax dir (meta = {}) for pre-sidecar checkpoints
+    like ckpt/reader."""
+    import json
+
+    meta = {}
+    meta_path = os.path.join(path, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    var_path = os.path.join(path, "variables")
+    if not os.path.isdir(var_path):
+        var_path = path
+    return load_variables(var_path), meta
+
+
 def convert_yolo_checkpoint(torch_path: str, out_path: str, scale: str = "l",
                             num_classes: int = 62, img_size: int = 640) -> None:
     """Ultralytics .pt → orbax checkpoint of YOLOv11 Flax variables."""

@@ -50,7 +50,12 @@ import numpy as np
 def run_eval(args, degrade_tier: str = None) -> dict:
     import zlib
 
-    from circuitvision_tpu.core.config import DetectorConfig, PipelineConfig
+    from circuitvision_tpu.core.config import (
+        DetectorConfig,
+        PipelineConfig,
+        SAM2Config,
+        sam2_hiera_preset,
+    )
     from circuitvision_tpu.core.types import BBox
     from circuitvision_tpu.enrich.client import FakeVLMClient
     from circuitvision_tpu.eval.degrade import degrade
@@ -61,21 +66,57 @@ def run_eval(args, degrade_tier: str = None) -> dict:
         netlist_exact_match,
     )
     from circuitvision_tpu.io.image_io import load_image
-    from circuitvision_tpu.models.checkpoint import load_variables
+    from circuitvision_tpu.models.checkpoint import load_model_checkpoint
     from circuitvision_tpu.pipeline.analyzer import CircuitAnalyzerTPU
 
-    yolo_vars = load_variables(args.yolo_checkpoint) if args.yolo_checkpoint else None
-    sam_vars = load_variables(args.sam2_checkpoint) if args.sam2_checkpoint else None
+    # Checkpoint meta sidecars carry the architecture they were trained
+    # with (scripts/train_detector.py / train_segmenter.py), so flags are
+    # only a fallback for bare orbax dirs.
+    yolo_vars = yolo_meta = None
+    if args.yolo_checkpoint:
+        yolo_vars, yolo_meta = load_model_checkpoint(args.yolo_checkpoint)
+    det_kwargs = dict(scale=args.scale, img_size=args.det_size)
+    if yolo_meta and "detector" in yolo_meta:
+        d = yolo_meta["detector"]
+        det_kwargs = dict(
+            scale=d["scale"], img_size=d["img_size"],
+            num_classes=d.get("num_classes", 62),
+            reg_max=d.get("reg_max", 16),
+        )
+        print(f"yolo checkpoint meta: {d}")
+    sam_vars = sam_meta = None
+    if args.sam2_checkpoint:
+        sam_vars, sam_meta = load_model_checkpoint(args.sam2_checkpoint)
+    sam2_cfg = SAM2Config()
+    if sam_meta and "sam2" in sam_meta:
+        s = sam_meta["sam2"]
+        sam2_cfg = sam2_hiera_preset(
+            s["preset"], dtype="float32", **s.get("overrides", {})
+        )
+        print(f"sam2 checkpoint meta: {s}")
     use_sam2 = sam_vars is not None and not args.classical_mask
     analyzer = CircuitAnalyzerTPU(
         config=PipelineConfig(
-            detector=DetectorConfig(scale=args.scale, img_size=args.det_size),
+            detector=DetectorConfig(**det_kwargs),
+            sam2=sam2_cfg,
             use_sam2=use_sam2,
         ),
         yolo_variables=yolo_vars,
         sam2_variables=sam_vars,
         use_sam2=use_sam2,
     )
+    reader_client = None
+    if args.vlm:
+        # trained on-TPU reader (enrich/trained_reader.py) instead of the
+        # canned per-image VLM replay: values and directions come from
+        # PIXELS — with --yolo/--sam2 checkpoints this is the fully
+        # non-oracle pixels→netlist-with-values path.
+        if not args.vlm.startswith("reader:"):
+            raise SystemExit(f"--vlm expects reader:<ckpt>, got {args.vlm}")
+        from circuitvision_tpu.enrich.trained_reader import load_trained_reader
+
+        reader_client = load_trained_reader(args.vlm.split(":", 1)[1])
+        analyzer.vlm_client = reader_client
 
     image_paths = sorted(
         glob.glob(os.path.join(args.data, "images", "*.png"))
@@ -128,7 +169,7 @@ def run_eval(args, degrade_tier: str = None) -> dict:
             analyzer.bboxes = lambda img, gt=gt: copy.deepcopy(gt)
 
         label_path = os.path.join(args.data, "labels", f"{name}.json")
-        if os.path.exists(label_path):
+        if os.path.exists(label_path) and reader_client is None:
             with open(label_path) as f:
                 canned = json.load(f)
             analyzer.vlm_client = FakeVLMClient(
@@ -139,7 +180,7 @@ def run_eval(args, degrade_tier: str = None) -> dict:
             )
 
         result = analyzer.analyze(image)
-        if os.path.exists(label_path):
+        if os.path.exists(label_path) or reader_client is not None:
             result = analyzer.generate_final_netlist(result)
 
         if gt is not None and not args.oracle_boxes:
@@ -219,6 +260,13 @@ def main(argv=None) -> int:
         "perspective, wobble), or 'all' to score the clean set plus "
         "every tier and emit a 'degraded' report section",
     )
+    parser.add_argument(
+        "--vlm", default=None,
+        help="reader:<ckpt> — read values/directions from pixels with "
+        "the trained crop reader instead of replaying canned VLM labels",
+    )
+    parser.add_argument("--out", default=None,
+                        help="also write the JSON report to this path")
     args = parser.parse_args(argv)
 
     import jax
@@ -244,6 +292,9 @@ def main(argv=None) -> int:
     else:
         report = run_eval(args, degrade_tier=args.degrade)
     print(json.dumps(report, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
     return 0
 
 

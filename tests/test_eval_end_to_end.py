@@ -25,6 +25,7 @@ def _args(data):
         limit=0,
         oracle_boxes=True,
         classical_mask=True,
+        vlm=None,
     )
 
 
@@ -47,19 +48,22 @@ class TestEvalEndToEnd:
         from eval_pipeline import run_eval
 
         report = run_eval(_args(eval_dir))
-        assert report["images"] == 24
+        assert report["images"] == 63
         assert report["netlist_exact_match"] == 1.0
         by_cat = report["netlist_exact_match_by_category"]
         assert set(by_cat) == {
             "basic", "semiconductors", "threshold-edge", "multi-cluster",
-            "exif-rotated", "degenerate",
+            "exif-rotated", "degenerate", "randomized-glyph", "nested-loop",
+            "border-wire", "extreme-aspect", "multi-terminal", "hand-drawn",
         }
         for cat, stats in by_cat.items():
             assert stats["match"] == 1.0, (cat, stats)
-        # Classical mask vs GT wire raster: near-perfect on clean strokes
-        # (component glyphs inside boxes account for the gap).
-        assert report["segmentation"]["pixel_accuracy"] > 0.98
-        assert report["segmentation"]["mean_iou"] > 0.5
+        # Classical mask vs GT wire raster: the glyph/value/annotation ink
+        # (inside boxes, subtracted before topology) depresses raw mask
+        # IoU vs the wires-only GT — the netlist gate above is the
+        # fidelity metric; these floors catch gross mask regressions.
+        assert report["segmentation"]["pixel_accuracy"] > 0.97
+        assert report["segmentation"]["mean_iou"] > 0.45
 
     def test_checked_in_set_matches_renderer(self, eval_dir):
         """The shipped eval_data/ must stay in sync with eval/synth.py."""
