@@ -296,6 +296,7 @@ _CLASS_VALUES = {
 _HOSTILE_DIRECTIONS = {
     "voltage.dc": ("UP", "SIGN"),
     "voltage.ac": ("UP", "SIGN"),
+    "voltage.battery": ("UP", "SIGN"),
     "diode": ("LEFT", "ARROW"),
     "diode.zener": ("RIGHT", "ARROW"),
     "diode.light_emitting": ("DOWN", "ARROW"),
