@@ -97,7 +97,13 @@ def make_yolo_optimizer(
     loss silently flatlined at 0 with fg=0 — observed at step ~2000 of
     a 320² nano run). AdamW over ultralytics' from-scratch SGD: transfer
     /synthetic fine-tunes converge in far fewer steps, and steps are
-    what a 1-chip budget buys."""
+    what a 1-chip budget buys.
+
+    apply_if_finite is equally load-bearing: clipping does NOT stop a
+    non-finite gradient (the NaN global norm scales every leaf to NaN
+    and the whole parameter tree is poisoned in one step — observed at
+    step ~1100 of a 640² small run: one bad batch, then fg=0/loss=0
+    forever). Skipping the update drops the bad batch instead."""
     if total_steps > 0:
         learning_rate = optax.warmup_cosine_decay_schedule(
             0.0, learning_rate, warmup_steps=max(1, warmup_steps),
@@ -111,9 +117,12 @@ def make_yolo_optimizer(
             ],
             boundaries=[warmup_steps],
         )
-    return optax.chain(
-        optax.clip_by_global_norm(clip_norm),
-        optax.adamw(learning_rate, weight_decay=weight_decay),
+    return optax.apply_if_finite(
+        optax.chain(
+            optax.clip_by_global_norm(clip_norm),
+            optax.adamw(learning_rate, weight_decay=weight_decay),
+        ),
+        max_consecutive_errors=50,
     )
 
 

@@ -220,13 +220,22 @@ def main():
         if i % args.log_every == 0 or i == args.steps - 1:
             loss = float(metrics["loss"])
             dt = time.time() - t0
+            # apply_if_finite skips poisoned updates; surface how many
+            # batches it dropped (a healthy run stays at 0).
+            skipped = int(getattr(opt, "notfinite_count", 0))
             print(f"step {i:5d}  loss {loss:.4f}  "
                   f"box {float(metrics['box_loss']):.3f}  "
                   f"cls {float(metrics['cls_loss']):.3f}  "
                   f"dfl {float(metrics['dfl_loss']):.3f}  "
                   f"fg {int(metrics['n_fg'])}  "
+                  f"skipped {skipped}  "
                   f"({dt:.0f}s, {dt / max(1, i - start_step + 1) * 1e3:.0f}"
                   " ms/step)", flush=True)
+            if loss == 0.0 and int(metrics["n_fg"]) == 0:
+                raise RuntimeError(
+                    "collapsed run (loss 0, fg 0 — poisoned params); "
+                    "aborting instead of burning the remaining steps"
+                )
         if args.eval_every and i and i % args.eval_every == 0:
             run_eval(f"step {i}")
         if args.ckpt_dir and ((i + 1) % args.save_every == 0

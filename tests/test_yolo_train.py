@@ -249,6 +249,50 @@ class TestTrainStepLearns:
             last = float(metrics["loss"])
         assert last < first, (first, last)
 
+    def test_nonfinite_batch_is_skipped_not_poisoning(self):
+        """A NaN batch must not poison the parameters: clipping alone
+        passes NaN through (NaN global norm → NaN scale → every leaf
+        NaN, observed as the fg=0/loss=0 collapse mid-run); the
+        apply_if_finite wrapper skips the update and recovers on the
+        next clean batch."""
+        from circuitvision_tpu.core.types import BBox
+        from circuitvision_tpu.models.yolo.model import YOLOv11, init_params
+        from circuitvision_tpu.train.yolo_train import (
+            make_yolo_optimizer,
+            make_yolo_train_step,
+            targets_from_boxes,
+        )
+
+        cfg = small_cfg(img_size=64, num_classes=8, reg_max=8)
+        model = YOLOv11(num_classes=8, scale="n", reg_max=8)
+        params = init_params(model, jax.random.PRNGKey(0), img_size=64)
+        tx = make_yolo_optimizer(2e-3)
+        opt = tx.init(params)
+        step = jax.jit(make_yolo_train_step(model, tx, cfg))
+
+        rng = np.random.default_rng(1)
+        images = jnp.asarray(rng.random((2, 64, 64, 3), np.float32))
+        gb, gc, gv = targets_from_boxes(
+            [[BBox("a", 0.9, 8, 8, 40, 40, class_id=2)], []],
+            max_gt=4, class_to_id={"a": 2},
+        )
+        params, opt, _ = step(params, opt, images, gb, gc, gv)
+        assert int(opt.notfinite_count) == 0
+
+        poisoned = images.at[0, 0, 0, 0].set(jnp.nan)
+        params2, opt, _ = step(params, opt, poisoned, gb, gc, gv)
+        assert int(opt.notfinite_count) == 1
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+            assert bool(jnp.array_equal(a, b)), "poisoned update applied"
+
+        params3, opt, metrics = step(params2, opt, images, gb, gc, gv)
+        assert int(opt.notfinite_count) == 0  # reset on recovery
+        assert np.isfinite(float(metrics["loss"]))
+        assert any(
+            not bool(jnp.array_equal(a, b))
+            for a, b in zip(jax.tree.leaves(params2), jax.tree.leaves(params3))
+        ), "clean update after a skipped batch did not apply"
+
     def test_targets_from_boxes_padding(self):
         from circuitvision_tpu.core.types import BBox
         from circuitvision_tpu.train.yolo_train import targets_from_boxes
