@@ -78,7 +78,30 @@ CLASSES: MappingProxyType = MappingProxyType(
     }
 )
 
-ID_TO_NAME: MappingProxyType = MappingProxyType({v: k for k, v in CLASSES.items()})
+#: Trainable detector extension (NOT in the reference's classes.json):
+#: the reference label space has no bare "capacitor" (only the
+#: .unpolarized/.polarized/.adjustable subtypes) and no current-source
+#: class at all — its fine-tune set had none — but the synthetic circuit
+#: grammar (eval/randomized.py) and the MNA simulator use both. They are
+#: appended AFTER the reference's 62 ids so every reference id is
+#: untouched: a 62-class checkpoint can never emit them, a 64-class
+#: trainable checkpoint (scripts/train_detector.py) can. Training with
+#: the un-extended map silently sent every capacitor/current-source GT
+#: box to id 0 (__background__) — measured AP@50 of exactly 0.000 for
+#: both despite 36/51 val instances.
+TRAIN_EXTRA_CLASSES: MappingProxyType = MappingProxyType(
+    {"capacitor": 62, "current.dc": 63}
+)
+
+#: Reference map + trainable extension — the label space the in-repo
+#: trainers target (dict order preserves id order).
+TRAIN_CLASSES: MappingProxyType = MappingProxyType(
+    {**CLASSES, **TRAIN_EXTRA_CLASSES}
+)
+
+ID_TO_NAME: MappingProxyType = MappingProxyType(
+    {v: k for k, v in TRAIN_CLASSES.items()}
+)
 
 # Runtime filtering sets (src/circuit_analyzer.py:57-59)
 REDUCING = frozenset(

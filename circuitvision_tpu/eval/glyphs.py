@@ -181,12 +181,42 @@ def draw_glyph(img: np.ndarray, box: BBox, direction: Optional[str] = None,
         else:
             for i in range(n_arc):
                 _circle(img, cx, y0 + rad + i * 2 * rad, rad)
-    elif cls in ("voltage.dc", "voltage.battery", "current.dc",
+    elif cls == "voltage.battery":
+        # standard battery symbol: long thin plate (+) and short thick
+        # plate (−) across the lead axis — previously drawn with the SAME
+        # circled-± glyph as voltage.dc, which made the two classes
+        # pixel-indistinguishable and pinned the rarer one's AP@50 at
+        # 0.08 (detector cannot learn a distinction that isn't drawn)
+        d = direction or "UP"
+        long_p = max(7, half - 1)
+        short_p = max(3, long_p // 2)
+        gap = max(3, span // 8)
+        if ax == "h":
+            # positive (long) plate toward `d`==RIGHT side, else left
+            px_, nx_ = (cx + gap, cx - gap) if d == "RIGHT" else \
+                (cx - gap, cx + gap)
+            _vline(img, px_, cy - long_p, cy + long_p, t=2)
+            _vline(img, nx_, cy - short_p, cy + short_p, t=4)
+            _hline(img, cy, x0, min(px_, nx_))
+            _hline(img, cy, max(px_, nx_), x1)
+            pos = (px_ + (6 if d == "RIGHT" else -6), cy - long_p - 4)
+        else:
+            py_, ny_ = (cy - gap, cy + gap) if d != "DOWN" else \
+                (cy + gap, cy - gap)
+            _hline(img, py_, cx - long_p, cx + long_p, t=2)
+            _hline(img, ny_, cx - short_p, cx + short_p, t=4)
+            _vline(img, cx, y0, min(py_, ny_))
+            _vline(img, cx, max(py_, ny_), y1)
+            pos = (cx + long_p + 4, py_ + (-4 if d != "DOWN" else 4))
+        # small '+' beside the long plate (the SIGN evidence)
+        _hline(img, pos[1], pos[0] - 2, pos[0] + 2, t=1)
+        _vline(img, pos[0], pos[1] - 2, pos[1] + 2, t=1)
+    elif cls in ("voltage.dc", "current.dc",
                  "current.dependent", "voltage.ac", "voltage.dependent"):
         rad = max(6, half - 2)
         _circle(img, cx, cy, rad)
         d = direction or "UP"
-        if cls in ("voltage.dc", "voltage.battery", "voltage.dependent"):
+        if cls in ("voltage.dc", "voltage.dependent"):
             # '+' on the positive side, '−' opposite
             off = rad // 2 + 1
             pos = {

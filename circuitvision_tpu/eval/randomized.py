@@ -148,13 +148,21 @@ def random_circuit(seed: int) -> tuple[np.ndarray, list[BBox]]:
         hwire(ty, x_right, tx1)
         place_component("terminal", tx1, ty + t // 2)
 
-    # junction/crossover glyph boxes (preserved in subtraction)
+    # junction glyph box (preserved in subtraction). Junction ONLY: a
+    # "crossover" label here was detection-GT noise — the glyph renderer
+    # draws a solder dot for junctions and nothing for crossovers, so a
+    # labeled crossover was pixel-identical to every UNLABELED bare
+    # intersection in the ladder and the detector (correctly) learned to
+    # ignore it (AP@50 0.003). The crossover class itself stays covered
+    # by the hand-built synth circuits and the topology preserve-set
+    # tests; these randomized labels exist to exercise the
+    # topology→netlist chain, where both classes are NETLIST_IGNORE.
     if rng.random() < 0.5:
         jx = int(rng.choice(rung_xs)) if len(rung_xs) else x_left + 100
         jy = int(rng.choice(rail_ys))
         boxes.append(
             BBox(
-                class_name=str(rng.choice(["junction", "crossover"])),
+                class_name="junction",
                 confidence=0.9,
                 xmin=jx - 6, ymin=jy - 6, xmax=jx + 8, ymax=jy + 8,
             )

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..core.taxonomy import CLASSES
+from ..core.taxonomy import TRAIN_CLASSES
 from ..core.types import BBox
 from .yolo_loss import YOLOLossConfig, yolo_detection_loss
 
@@ -33,8 +33,25 @@ def targets_from_boxes(
 
     Returns (gt_boxes (B, M, 4) f32 xyxy, gt_classes (B, M) i32,
     gt_valid (B, M) bool). Boxes must already be in the model's input
-    pixel space (letterboxed)."""
-    class_to_id = class_to_id or dict(CLASSES)
+    pixel space (letterboxed).
+
+    Defaults to the TRAINABLE label space (taxonomy.TRAIN_CLASSES =
+    reference ids + capacitor/current.dc extension); an unmapped class
+    name would silently become id 0 (__background__) and train the
+    model to IGNORE that component — warn loudly instead."""
+    class_to_id = class_to_id or dict(TRAIN_CLASSES)
+    unmapped = {
+        b.class_name
+        for boxes in boxes_per_image
+        for b in boxes
+        if b.class_name not in class_to_id
+    }
+    if unmapped:
+        logging.getLogger(__name__).warning(
+            "targets_from_boxes: %d class name(s) not in the label map "
+            "become __background__ GT (the model learns to ignore them): %s",
+            len(unmapped), sorted(unmapped),
+        )
     B = len(boxes_per_image)
     dropped = sum(max(0, len(b) - max_gt) for b in boxes_per_image)
     if dropped:

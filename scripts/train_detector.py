@@ -135,7 +135,14 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from train_yolo_demo import eval_map50
 
-    det_cfg = DetectorConfig(scale=args.scale, img_size=args.img_size)
+    from circuitvision_tpu.core.taxonomy import TRAIN_CLASSES
+
+    # Trainable label space: reference ids + capacitor/current.dc
+    # extension (taxonomy.TRAIN_EXTRA_CLASSES) — training with the bare
+    # 62-class map sent every capacitor/current-source GT to background
+    # (measured AP 0.000 for both).
+    det_cfg = DetectorConfig(scale=args.scale, img_size=args.img_size,
+                             num_classes=len(TRAIN_CLASSES))
     images, boxes_all, tiers = load_pool(args.pool, args.img_size, args.limit)
     n_val = min(args.val_n, len(images) // 4)
     n_train = len(images) - n_val
