@@ -43,7 +43,12 @@ def load_pool(pool_dir: str, res: int, limit: int = 0):
     (normalization happens on device per batch) + (N, res, res) bool GT."""
     from PIL import Image
 
-    files = sorted(glob.glob(os.path.join(pool_dir, "*.npz")))
+    # pool items only — sibling trainers drop their own "_"-prefixed
+    # resize caches (.npz too) into the pool dir
+    files = sorted(
+        f for f in glob.glob(os.path.join(pool_dir, "*.npz"))
+        if not os.path.basename(f).startswith("_")
+    )
     if limit:
         files = files[:limit]
     if not files:
