@@ -53,6 +53,7 @@ class TrainedReaderClient:
 
     def __init__(self, params, cfg: Optional[ReaderConfig] = None):
         import jax
+        import jax.numpy as jnp
 
         self.cfg = cfg or ReaderConfig()
         self.model = CropReader(self.cfg)
@@ -60,6 +61,23 @@ class TrainedReaderClient:
         self._fwd = jax.jit(
             lambda p, x: self.model.apply(p, x.astype(np.float32) / 255.0)
         )
+
+        def fwd_argmax(p, x):
+            # single-view serving path: argmax per head ON DEVICE so the
+            # fetch is three tiny int vectors, not (B, …) float logits —
+            # the full-probability fetch plus host softmax was measurable
+            # host time on the 1-core serving host (the probs are only
+            # needed for multi-view averaging)
+            cls_l, val_l, dir_l = self.model.apply(
+                p, x.astype(jnp.float32) / 255.0
+            )
+            return (
+                jnp.argmax(cls_l, -1).astype(jnp.int32),
+                jnp.argmax(val_l, -1).astype(jnp.int32),
+                jnp.argmax(dir_l, -1).astype(jnp.int32),
+            )
+
+        self._fwd_argmax = jax.jit(fwd_argmax)
 
     # -- core batched read ------------------------------------------------
     def _read_crops(self, crops: np.ndarray, views: int = 1):
@@ -89,27 +107,34 @@ class TrainedReaderClient:
                 (padded_total - total, *crops.shape[1:]), crops.dtype
             )
             crops = np.concatenate([crops, pad], axis=0)
+        fwd = self._fwd_argmax if views == 1 else self._fwd
         if padded_total <= cap:
-            cls_logits, val_logits, dir_logits = self._fwd(
-                self.params, jnp.asarray(crops)
-            )
+            heads = [fwd(self.params, jnp.asarray(crops))]
         else:
-            parts = [
-                self._fwd(self.params, jnp.asarray(crops[s : s + cap]))
+            heads = [
+                fwd(self.params, jnp.asarray(crops[s : s + cap]))
                 for s in range(0, padded_total, cap)
             ]
+
+        if views == 1:
+            # device-side argmax path: three (B,) int fetches
+            cls_ids, val_codes, dir_ids = (
+                np.concatenate([np.asarray(h[k]) for h in heads])[:total]
+                for k in range(3)
+            )
+        else:
             cls_logits, val_logits, dir_logits = (
-                jnp.concatenate([p[k] for p in parts], axis=0)
+                jnp.concatenate([h[k] for h in heads], axis=0)
                 for k in range(3)
             )
 
-        def mean_probs(logits):
-            p = np.asarray(jax.nn.softmax(logits, axis=-1))[:total]
-            return p.reshape(views, n, *p.shape[1:]).mean(axis=0)
+            def mean_probs(logits):
+                p = np.asarray(jax.nn.softmax(logits, axis=-1))[:total]
+                return p.reshape(views, n, *p.shape[1:]).mean(axis=0)
 
-        cls_ids = mean_probs(cls_logits).argmax(-1)
-        val_codes = mean_probs(val_logits).argmax(-1)
-        dir_ids = mean_probs(dir_logits).argmax(-1)
+            cls_ids = mean_probs(cls_logits).argmax(-1)
+            val_codes = mean_probs(val_logits).argmax(-1)
+            dir_ids = mean_probs(dir_logits).argmax(-1)
         classes = [
             READER_CLASS_NAMES[int(c)]
             if 0 <= int(c) < len(READER_CLASS_NAMES) else "unknown"
