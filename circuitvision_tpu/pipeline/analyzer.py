@@ -374,9 +374,22 @@ class CircuitAnalyzerTPU:
             result.valueless_netlist_text_no_vlm_dir = stringify_netlist(
                 generate_netlist_from_nodes(nodes_unknown)
             )
-            result.enum_image, result.enum_bboxes = enumerate_components(
-                image_for_enum, result.bboxes
-            )
+            if self.vlm_client is not None and hasattr(
+                self.vlm_client, "get_labels_batch_boxes"
+            ):
+                # Box-driven readers are handed the id'd boxes and read
+                # value windows straight off the pixels — no digit OCR,
+                # so skip the ~4 ms/img host draw (and serve windows
+                # from the UNDRAWN image, the reader's exact training
+                # distribution). enum_image aliases the analysis image.
+                from ..topology.enumerate_components import assign_visual_ids
+
+                result.enum_image = np.asarray(image_for_enum)
+                result.enum_bboxes = assign_visual_ids(result.bboxes)
+            else:
+                result.enum_image, result.enum_bboxes = enumerate_components(
+                    image_for_enum, result.bboxes
+                )
         else:
             logger.warning("no nodes; generating components-only fallback netlist")
             result.netlist = generate_fallback_netlist(result.bboxes)

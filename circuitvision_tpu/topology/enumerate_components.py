@@ -85,6 +85,35 @@ def _candidate_positions(b: BBox, tw: int, th: int) -> list[tuple[int, int]]:
     ]
 
 
+def assign_visual_ids(
+    bboxes: Sequence[BBox],
+    excluded_labels: Optional[frozenset] = None,
+) -> list[BBox]:
+    """The ID half of enumerate_components without the drawing half.
+
+    Visual ids are assigned by a sequential counter over the non-excluded
+    boxes in input order (reference :479-785) — the digit PLACEMENT search
+    never affects which id a component gets, only where its digit lands
+    on the image. Box-driven readers (enrich/trained_reader.py) are handed
+    the id'd boxes directly and never OCR the digits, so the pipeline can
+    skip the ~4 ms/img host draw for them (measured on a 520×720 crop;
+    the black-box VLM path still draws via enumerate_components)."""
+    excluded = (
+        excluded_labels if excluded_labels is not None
+        else taxonomy.NON_COMPONENTS
+    )
+    out_boxes: list[BBox] = []
+    counter = 0
+    for b in bboxes:
+        if b.class_name in excluded:
+            continue
+        counter += 1
+        out = dataclasses.replace(b)
+        out.visual_id = counter
+        out_boxes.append(out)
+    return out_boxes
+
+
 def enumerate_components(
     image: np.ndarray,
     bboxes: Sequence[BBox],
