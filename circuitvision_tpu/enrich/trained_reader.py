@@ -197,19 +197,10 @@ class TrainedReaderClient:
     def get_directions_batch(
         self, crops: Sequence[np.ndarray], classes: Sequence[str]
     ) -> list[tuple[str, str]]:
-        from PIL import Image
+        from ..train.reader import resize_crop
 
         size = self.cfg.crop_size
-        batch = np.stack(
-            [
-                np.asarray(
-                    Image.fromarray(np.asarray(c)).resize(
-                        (size, size), Image.BILINEAR
-                    )
-                )
-                for c in crops
-            ]
-        )
+        batch = np.stack([resize_crop(c, size) for c in crops])
         _cls, _vals, dirs = self._read_crops(batch)
         return [
             (d if d != "NONE" else "UNKNOWN", _reason_for(cls))

