@@ -145,18 +145,28 @@ def main():
     opt = tx.init(params)
     step = jax.jit(make_reader_train_step(model, tx))
 
+    # Dataset lives on DEVICE; batches are jit gathers by index. Per-step
+    # host uploads (256×160²×3 ≈ 20 MB each) leaked their transfer
+    # staging buffers on the tunnel-attached backend — an 8000-step run
+    # grew to 130 GB RSS and was OOM-killed at step ~6500. Device-side
+    # gather uploads 256 int32 indices per step instead (the detector
+    # trainer's pattern, scripts/train_detector.py).
+    data_dev = {k: jax.device_put(v) for k, v in data.items()}
+
+    @jax.jit
+    def gather_step(params, opt, crops, cls, val, dirs, val_w, sel):
+        return step(params, opt, crops[sel], cls[sel], val[sel],
+                    dirs[sel], val_w[sel])
+
     rng = np.random.default_rng(0)
     t0 = time.time()
     loss_first = loss = None
     for i in range(args.steps):
-        sel = rng.integers(0, n, args.batch)
-        params, opt, metrics = step(
+        sel = jnp.asarray(rng.integers(0, n, args.batch))
+        params, opt, metrics = gather_step(
             params, opt,
-            jnp.asarray(data["crops"][sel]),
-            jnp.asarray(data["cls"][sel]),
-            jnp.asarray(data["val"][sel]),
-            jnp.asarray(data["dir"][sel]),
-            jnp.asarray(data["val_w"][sel]),
+            data_dev["crops"], data_dev["cls"], data_dev["val"],
+            data_dev["dir"], data_dev["val_w"], sel,
         )
         if i % args.log_every == 0 or i == args.steps - 1:
             loss = float(metrics["loss"])
